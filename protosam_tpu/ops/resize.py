@@ -1,0 +1,97 @@
+"""Image resizing with PyTorch-comparable semantics.
+
+The reference pipeline is laced with ``F.interpolate`` calls in three distinct
+modes whose pixel-grid conventions differ; mask agreement with the reference is
+sensitive to all of them (see reference models/ProtoSAM.py:592-594,676 and
+models/segment_anything/modeling/sam.py:154-160):
+
+* ``bilinear, align_corners=False, antialias=False`` — half-pixel source
+  mapping, clamped at borders.  ``jax.image.resize(method="linear",
+  antialias=False)`` implements the same convention; we wrap it.
+* ``nearest`` — torch's *legacy* nearest uses the asymmetric mapping
+  ``src = floor(dst * in/out)`` (NOT half-pixel rounding, which is what
+  ``jax.image.resize("nearest")`` does).  Implemented here by explicit gather.
+* ``bilinear, antialias=True`` — PIL-style triangle filter; matches
+  ``jax.image.resize(method="linear", antialias=True)``.
+
+All functions take NCHW (or any rank with trailing H, W) arrays and resize the
+last two dims, like ``F.interpolate`` on 4-D input.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _out_shape(x: jax.Array, size: tuple[int, int]) -> tuple[int, ...]:
+    return (*x.shape[:-2], int(size[0]), int(size[1]))
+
+
+def resize_bilinear(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """``F.interpolate(x, size, mode='bilinear', align_corners=False)``."""
+    if x.shape[-2:] == tuple(size):
+        return x
+    return jax.image.resize(x, _out_shape(x, size), method="linear", antialias=False)
+
+
+def resize_bilinear_antialias(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """``F.interpolate(..., mode='bilinear', align_corners=False, antialias=True)``.
+
+    Used by the SAM longest-side transform (reference
+    models/segment_anything/utils/transforms.py:70-92).
+    """
+    if x.shape[-2:] == tuple(size):
+        return x
+    return jax.image.resize(x, _out_shape(x, size), method="linear", antialias=True)
+
+
+def resize_bicubic_antialias(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """Bicubic resize with antialiasing (DINOv2 pos-embed interpolation)."""
+    if x.shape[-2:] == tuple(size):
+        return x
+    return jax.image.resize(x, _out_shape(x, size), method="cubic", antialias=True)
+
+
+def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """``F.interpolate(x, size, mode='nearest')`` (torch legacy convention).
+
+    torch maps output index ``i`` to source index ``floor(i * in/out)``;
+    ``jax.image.resize("nearest")`` rounds half-pixel centers instead, so the
+    two disagree on every non-integer scale.  The pipeline uses nearest for
+    mask down/upsampling (reference grid_proto_fewshot.py:228-231,
+    segment_anything/modeling/sam.py:154-160, ProtoSAM.py:676), so we
+    replicate torch exactly.
+    """
+    h_in, w_in = x.shape[-2], x.shape[-1]
+    h_out, w_out = int(size[0]), int(size[1])
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    rows = jnp.floor(jnp.arange(h_out) * (h_in / h_out)).astype(jnp.int32)
+    cols = jnp.floor(jnp.arange(w_out) * (w_in / w_out)).astype(jnp.int32)
+    rows = jnp.clip(rows, 0, h_in - 1)
+    cols = jnp.clip(cols, 0, w_in - 1)
+    return x[..., rows, :][..., :, cols]
+
+
+@functools.partial(jax.jit, static_argnames=("size", "mode"))
+def resize(x: jax.Array, size: tuple[int, int], mode: str = "bilinear") -> jax.Array:
+    """Dispatching convenience wrapper."""
+    if mode == "bilinear":
+        return resize_bilinear(x, size)
+    if mode == "nearest":
+        return resize_nearest(x, size)
+    if mode == "bilinear_antialias":
+        return resize_bilinear_antialias(x, size)
+    if mode == "bicubic_antialias":
+        return resize_bicubic_antialias(x, size)
+    raise ValueError(f"unknown resize mode: {mode}")
+
+
+def longest_side_size(h: int, w: int, target_length: int) -> tuple[int, int]:
+    """Output size for a longest-side resize (reference
+    segment_anything/utils/transforms.py:141-148: ``int(dim * scale + 0.5)``)."""
+    scale = target_length / max(h, w)
+    return (int(h * scale + 0.5), int(w * scale + 0.5))
