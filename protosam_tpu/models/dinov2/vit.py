@@ -1,0 +1,176 @@
+"""DINOv2 vision transformer in flax (frozen feature extractor).
+
+The reference loads DINOv2 from torch.hub (reference
+models/grid_proto_fewshot.py:54-72: dinov2_vitl14 / vitl14_reg / vitb14) and
+consumes ``forward_features(...)["x_norm_patchtokens"]``
+(grid_proto_fewshot.py:90-98).  This is a from-scratch flax implementation of
+the published DINOv2 architecture: ViT with 14-px patches, cls token (+
+optional register tokens), LayerScale residual scaling, pre-norm blocks, and
+bicubic pos-embed interpolation for non-native grid sizes.
+
+Weights come from the torch.hub checkpoints via
+utils/torch_convert.convert_dinov2.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+import functools
+
+_gelu = functools.partial(nn.gelu, approximate=False)
+
+
+class Attention(nn.Module):
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, n, c = x.shape
+        hd = c // self.num_heads
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out.reshape(b, n, c))
+
+
+class LayerScale(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma = self.param("gamma", nn.initializers.constant(1e-5),
+                           (x.shape[-1],))
+        return x * gamma.astype(self.dtype)
+
+
+class Block(nn.Module):
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = Attention(self.num_heads, self.dtype, name="attn")(y)
+        x = x + LayerScale(self.dtype, name="ls1")(y)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
+                     name="mlp_fc1")(y)
+        y = _gelu(y)
+        y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + LayerScale(self.dtype, name="ls2")(y)
+
+
+class DinoVisionTransformer(nn.Module):
+    patch_size: int = 14
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    num_register_tokens: int = 0
+    pos_embed_size: int = 37  # 518 // 14, the pretrain grid
+    interpolate_antialias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
+        """x: (B, H, W, 3), H/W divisible by patch_size.
+
+        Returns the reference-consumed subset of forward_features:
+        ``x_norm_clstoken`` (B, C), ``x_norm_patchtokens`` (B, N, C).
+        """
+        b, h, w, _ = x.shape
+        gh, gw = h // self.patch_size, w // self.patch_size
+
+        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    padding="VALID", dtype=self.dtype, name="patch_embed")(x)
+        x = x.reshape(b, gh * gw, self.embed_dim)
+
+        cls_token = self.param("cls_token", nn.initializers.zeros,
+                               (1, 1, self.embed_dim))
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.zeros,
+            (1, 1 + self.pos_embed_size ** 2, self.embed_dim))
+
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token.astype(self.dtype),
+                              (b, 1, self.embed_dim)), x], axis=1)
+        x = x + self._interpolate_pos_encoding(pos_embed, gh, gw).astype(self.dtype)
+
+        if self.num_register_tokens:
+            reg = self.param("register_tokens", nn.initializers.zeros,
+                             (1, self.num_register_tokens, self.embed_dim))
+            x = jnp.concatenate(
+                [x[:, :1],
+                 jnp.broadcast_to(reg.astype(self.dtype),
+                                  (b, self.num_register_tokens,
+                                   self.embed_dim)),
+                 x[:, 1:]], axis=1)
+
+        for i in range(self.depth):
+            x = Block(self.num_heads, self.mlp_ratio, self.dtype,
+                      name=f"blocks_{i}")(x)
+
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        r = self.num_register_tokens
+        return {
+            "x_norm_clstoken": x[:, 0],
+            "x_norm_regtokens": x[:, 1:1 + r],
+            "x_norm_patchtokens": x[:, 1 + r:],
+        }
+
+    def _interpolate_pos_encoding(self, pos_embed: jax.Array, gh: int,
+                                  gw: int) -> jax.Array:
+        """Bicubic interpolation of the pretrain pos-embed grid to (gh, gw)
+        (dinov2's interpolate_pos_encoding; antialias per hub config)."""
+        m = self.pos_embed_size
+        cls_pe = pos_embed[:, :1].astype(jnp.float32)
+        patch_pe = pos_embed[:, 1:].astype(jnp.float32)
+        if (gh, gw) == (m, m):
+            return jnp.concatenate([cls_pe, patch_pe], axis=1)
+        grid = patch_pe.reshape(1, m, m, self.embed_dim)
+        grid = jax.image.resize(grid, (1, gh, gw, self.embed_dim),
+                                method="cubic",
+                                antialias=self.interpolate_antialias)
+        return jnp.concatenate(
+            [cls_pe, grid.reshape(1, gh * gw, self.embed_dim)], axis=1)
+
+
+_DINO_CONFIGS: dict[str, dict[str, Any]] = {
+    "dinov2_vits14": dict(embed_dim=384, depth=12, num_heads=6),
+    "dinov2_vitb14": dict(embed_dim=768, depth=12, num_heads=12),
+    "dinov2_vitl14": dict(embed_dim=1024, depth=24, num_heads=16),
+    "dinov2_vits14_reg": dict(embed_dim=384, depth=12, num_heads=6,
+                              num_register_tokens=4,
+                              interpolate_antialias=True),
+    "dinov2_vitb14_reg": dict(embed_dim=768, depth=12, num_heads=12,
+                              num_register_tokens=4,
+                              interpolate_antialias=True),
+    "dinov2_vitl14_reg": dict(embed_dim=1024, depth=24, num_heads=16,
+                              num_register_tokens=4,
+                              interpolate_antialias=True),
+    # test-size model for CPU-runnable configs
+    "dinov2_vitt14": dict(embed_dim=64, depth=2, num_heads=2),
+}
+
+
+def build_dinov2(name: str, dtype=jnp.float32) -> DinoVisionTransformer:
+    if name not in _DINO_CONFIGS:
+        raise KeyError(f"unknown DINOv2 variant {name!r}; "
+                       f"have {sorted(_DINO_CONFIGS)}")
+    return DinoVisionTransformer(dtype=dtype, **_DINO_CONFIGS[name])

@@ -1,0 +1,73 @@
+"""Shared flax building blocks.
+
+Activations are NHWC throughout (TPU-native layout); the torch reference is
+NCHW — the weight converter (utils/torch_convert.py) handles the kernel
+transposes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class LayerNorm2d(nn.Module):
+    """Channel LayerNorm over NHWC's last axis with biased variance, eps 1e-6.
+
+    Semantics of reference segment_anything/modeling/common.py:29-43 (which
+    normalizes the channel dim of NCHW).
+    """
+
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        w = self.param("weight", nn.initializers.ones, (c,))
+        b = self.param("bias", nn.initializers.zeros, (c,))
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + self.eps)
+        return (y * w + b).astype(self.dtype)
+
+
+class MLPBlock(nn.Module):
+    """Linear -> act -> Linear (reference common.py:13-26)."""
+
+    mlp_dim: int
+    act: Callable = nn.gelu
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
+        x = self.act(x)
+        x = nn.Dense(d, dtype=self.dtype, name="lin2")(x)
+        return x
+
+
+class MLP(nn.Module):
+    """The decoder's relu-MLP head (reference mask_decoder.py:154-176)."""
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+    sigmoid_output: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i in range(self.num_layers):
+            out = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
+            x = nn.Dense(out, dtype=self.dtype, name=f"layers_{i}")(x)
+            if i < self.num_layers - 1:
+                x = nn.relu(x)
+        if self.sigmoid_output:
+            x = nn.sigmoid(x)
+        return x

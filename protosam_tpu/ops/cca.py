@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 _BIG = jnp.int32(2**30)
@@ -55,37 +56,57 @@ class ComponentStats(NamedTuple):
     centroids: jax.Array
 
 
-def _neighbor_min(lbl: jax.Array) -> jax.Array:
-    """Min label over the 8-neighborhood (incl. self); BIG-padded borders."""
-    p = jnp.pad(lbl, 1, constant_values=_BIG)
-    h, w = lbl.shape
-    out = lbl
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            out = jnp.minimum(out, lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w)))
-    return out
+def _neighbor_min(lbl: jax.Array, fg: jax.Array) -> jax.Array:
+    """Min label over the 3×3 neighborhood (8-connectivity, incl. self)."""
+    red = lax.reduce_window(lbl, np.int32(2**30), lax.min, (3, 3), (1, 1),
+                            [(1, 1), (1, 1)])
+    return jnp.where(fg, red, _BIG)
+
+
+def _seg_min_scan(lbl: jax.Array, fg: jax.Array, axis: int) -> jax.Array:
+    """Min label propagated along contiguous foreground runs on ``axis``
+    (forward + backward segmented cummin via associative_scan — vectorized,
+    no gathers; this is what makes device CCA fast on TPU)."""
+
+    def op(a, b):
+        va, ra = a
+        vb, rb = b
+        return jnp.where(rb, vb, jnp.minimum(va, vb)), ra | rb
+
+    reset = ~fg
+
+    def run(v):
+        out, _ = lax.associative_scan(op, (v, reset), axis=axis)
+        return out
+
+    fwd = run(lbl)
+    bwd = jnp.flip(
+        lax.associative_scan(op, (jnp.flip(lbl, axis), jnp.flip(reset, axis)),
+                             axis=axis)[0], axis)
+    return jnp.where(fg, jnp.minimum(fwd, bwd), _BIG)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters",))
 def label_components(mask: jax.Array, max_iters: int = 1024) -> jax.Array:
-    """Raw root labels: (H, W) int32, BIG on background, root flat-index on fg."""
+    """Raw root labels: (H, W) int32, BIG on background, root flat-index on fg.
+
+    Each iteration: 8-neighborhood min (one 3×3 reduce_window), then
+    segmented min-propagation along full rows and columns.  A straight or
+    convex component converges in one iteration; each extra iteration
+    resolves one more "zigzag" in the component geometry.
+    """
     h, w = mask.shape
     fg = mask > 0
     idx = (jnp.arange(h * w, dtype=jnp.int32).reshape(h, w))
     lbl = jnp.where(fg, idx, _BIG)
+    lbl = _seg_min_scan(_neighbor_min(lbl, fg), fg, axis=1)
+    lbl = _seg_min_scan(lbl, fg, axis=0)
 
     def body(state):
         lbl, _, it = state
-        new = jnp.where(fg, _neighbor_min(lbl), _BIG)
-        # pointer jumping: follow root links twice to shortcut chains
-        flat = new.reshape(-1)
-        safe = jnp.where(flat >= h * w, 0, flat)
-        jumped = jnp.where(flat >= h * w, flat, flat[safe])
-        safe2 = jnp.where(jumped >= h * w, 0, jumped)
-        jumped = jnp.where(jumped >= h * w, jumped, flat[safe2])
-        new = jumped.reshape(h, w)
+        new = _neighbor_min(lbl, fg)
+        new = _seg_min_scan(new, fg, axis=1)
+        new = _seg_min_scan(new, fg, axis=0)
         changed = jnp.any(new != lbl)
         return new, changed, it + 1
 
@@ -109,17 +130,27 @@ def connected_components(mask: jax.Array, max_ccs: int = 8,
     lbl = label_components(mask, max_iters)
 
     flat = lbl.reshape(-1)
-    roots = jnp.unique(flat, size=max_ccs + 1, fill_value=_BIG)  # sorted asc
-    # relabel 1..N in cv2 scan order (roots ascend by flat index).
-    pos = jnp.searchsorted(roots, flat)
-    is_root_row = jnp.take(roots, jnp.clip(pos, 0, max_ccs), fill_value=_BIG) == flat
-    comp_id = jnp.where((flat < _BIG) & is_root_row & (pos < max_ccs), pos + 1, 0)
-    # components beyond max_ccs rows fall back to 0 in the label image; the
-    # true count is reported separately so callers can detect overflow.
-    labels = comp_id.reshape(h, w).astype(jnp.int32)
+    # Roots are the (few) label values that equal their own flat index.
+    # Extract the first max_ccs of them in ascending order with iterative
+    # masked min-reductions — sorts/gathers (jnp.unique, searchsorted) are
+    # serialized on TPU and were ~100x slower here.
+    idx = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    root_vals = jnp.where((flat == idx) & (flat < _BIG), flat, _BIG)
+    num = jnp.sum(root_vals < _BIG).astype(jnp.int32)
 
-    num = jnp.sum(jnp.unique(flat, size=h * w + 1, fill_value=_BIG) < _BIG) \
-        if False else _count_roots(flat)
+    def take_min(carry, _):
+        vals = carry
+        m = jnp.min(vals)
+        return jnp.where(vals == m, _BIG, vals), m
+
+    _, roots = lax.scan(take_min, root_vals, None, length=max_ccs)  # (K,) asc
+    # relabel 1..N in cv2 scan order (roots ascend by flat index); components
+    # beyond max_ccs fall back to 0 in the label image — the true count is
+    # reported separately so callers can detect overflow.
+    comp_id = jnp.sum(
+        ((flat[None, :] == roots[:, None]) & (roots[:, None] < _BIG))
+        * jnp.arange(1, max_ccs + 1, dtype=jnp.int32)[:, None], axis=0)
+    labels = comp_id.reshape(h, w).astype(jnp.int32)
 
     onehot = labels[None] == jnp.arange(1, max_ccs + 1, dtype=jnp.int32)[:, None, None]
     valid = onehot.any(axis=(1, 2))
@@ -140,13 +171,6 @@ def connected_components(mask: jax.Array, max_ccs: int = 8,
     centroids = jnp.stack([cx, cy], axis=-1)
 
     return ComponentStats(labels, num, valid, areas, bboxes, centroids)
-
-
-def _count_roots(flat: jax.Array) -> jax.Array:
-    """Number of distinct components = number of pixels that are their own
-    root (label == own flat index)."""
-    idx = jnp.arange(flat.shape[0], dtype=jnp.int32)
-    return jnp.sum((flat == idx) & (flat < _BIG)).astype(jnp.int32)
 
 
 def component_confidences(stats: ComponentStats, fg_probs: jax.Array,

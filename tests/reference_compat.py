@@ -15,3 +15,24 @@ def import_reference_alpmodule():
         sys.path.insert(0, REFERENCE_ROOT)
     from models import alpmodule  # noqa
     return alpmodule
+
+
+def import_sam_modeling():
+    """Load the reference's segment_anything.modeling subpackage standalone.
+
+    The parent package's __init__ imports the (uninstalled) pip
+    ``segment_anything``, so we mount ``modeling`` as its own top-level
+    package instead.
+    """
+    import importlib.util
+
+    name = "ref_sam_modeling"
+    if name in sys.modules:
+        return sys.modules[name]
+    root = f"{REFERENCE_ROOT}/models/segment_anything/modeling"
+    spec = importlib.util.spec_from_file_location(
+        name, f"{root}/__init__.py", submodule_search_locations=[root])
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
