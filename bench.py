@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Headline benchmark: full-pipeline one-shot inference throughput.
+
+Segments a synthetic CHAOS-like MRI volume end-to-end — DINOv2-L/14 coarse
+ALPNet + device CCA/prompt extraction + SAM refinement — and reports
+slices/sec/chip.  Baseline target (BASELINE.md): >50 slices/sec/chip.
+
+Env knobs:
+  BENCH_SAM_VER   vit_b (default) | vit_l | vit_h
+  BENCH_SLICES    number of slices in the volume (default 24)
+  BENCH_BATCH     slice batch per XLA program (default 4)
+
+Prints ONE JSON line.
+"""
+
+import json
+import os
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from protosam_tpu.models.alpnet import FewShotSeg
+    from protosam_tpu.models.io_protocol import ALPNetInput
+    from protosam_tpu.models.sam import build_sam
+    from protosam_tpu.pipeline import ProtoSAM, ProtoSAMConfig
+
+    sam_ver = os.environ.get("BENCH_SAM_VER", "vit_b")
+    n_slices = int(os.environ.get("BENCH_SLICES", "24"))
+    slice_batch = int(os.environ.get("BENCH_BATCH", "4"))
+    image_size = 672
+    dtype = jnp.bfloat16
+
+    coarse = FewShotSeg(image_size=image_size, which_model="dinov2_l14",
+                        dtype=dtype)
+    sam = build_sam(sam_ver, dtype=dtype)
+
+    rng = jax.random.PRNGKey(0)
+    supp = jax.random.normal(rng, (1, 3, image_size, image_size), jnp.float32)
+    fg = jnp.zeros((1, image_size, image_size))
+    fg = fg.at[:, 220:420, 200:400].set(1.0)
+    qry0 = jax.random.normal(jax.random.PRNGKey(1),
+                             (1, 3, image_size, image_size), jnp.float32)
+
+    coarse_params = coarse.init(rng, supp, fg, 1 - fg, qry0)["params"]
+    sam_params = sam.init(
+        rng, jnp.zeros((1, sam.image_size, sam.image_size, 3)),
+        jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32),
+        jnp.zeros((1, 4)))["params"]
+
+    pipe = ProtoSAM(coarse, coarse_params, sam, sam_params, ProtoSAMConfig())
+
+    # synthetic volume: distinct slices (defeats any result caching)
+    vol = jax.device_put(jax.random.normal(
+        jax.random.PRNGKey(2), (n_slices, 3, image_size, image_size),
+        jnp.float32))
+    inp = ALPNetInput(supp, fg, qry0, isval=True, val_wsize=2)
+
+    # warm-up / compile
+    preds, _ = pipe.forward_volume(vol[:slice_batch], inp,
+                                   slice_batch=slice_batch)
+    jax.block_until_ready(preds)
+
+    t0 = time.time()
+    preds, scores = pipe.forward_volume(vol, inp, slice_batch=slice_batch)
+    jax.block_until_ready((preds, scores))
+    elapsed = time.time() - t0
+
+    value = n_slices / elapsed
+    print(json.dumps({
+        "metric": f"slices/sec/chip full-pipeline one-shot inference "
+                  f"(dinov2_l14+{sam_ver}, {image_size}px, CHAOS-like volume)",
+        "value": round(value, 2),
+        "unit": "slices/sec/chip",
+        "vs_baseline": round(value / 50.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from protosam_tpu.ops.attention import multi_head_attention
+
 import functools
 
 _gelu = functools.partial(nn.gelu, approximate=False)
@@ -37,12 +39,8 @@ class Attention(nn.Module):
         hd = c // self.num_heads
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
-        q, k, v = jnp.moveaxis(qkv, 2, 0)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)        # each (B, N, H, D)
+        out = multi_head_attention(q, k, v, scale=hd ** -0.5)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out.reshape(b, n, c))
 
 

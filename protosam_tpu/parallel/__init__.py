@@ -1,0 +1,5 @@
+from protosam_tpu.parallel.sharding import (  # noqa: F401
+    encoder_param_sharding,
+    make_mesh,
+    shard_batch,
+)

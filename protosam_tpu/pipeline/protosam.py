@@ -1,0 +1,289 @@
+"""ProtoSAM pipeline: coarse prototypes -> device-side prompts -> SAM.
+
+Behavioral spec: reference models/ProtoSAM.py:184-678.  The reference's
+forward round-trips to the host mid-pipeline (coarse logits -> numpy -> cv2
+connected components -> CPU prompt math -> uint8 numpy -> SAM); here the
+entire slice program is ONE jitted XLA computation:
+
+  coarse ALPNet logits (672²)
+  -> bilinear to the 1024² SAM frame, softmax, argmax
+  -> device CCA (+ optional keep-best-component 'cca' mode)
+  -> per-component top-conf/centroid points + bboxes (padded to max_ccs)
+  -> the uint8 min-max renormalization quirk (ProtoSAM.py:660, reproduced
+     exactly: floor to uint8 steps) + SAM pixel normalization
+  -> SAM encoder (one 1024² pass) -> decoder batched over components
+  -> component masks summed, nearest-resized back to the query frame.
+
+Flag semantics (use_points/use_bbox/use_cca/point_mode/...) follow
+reference ProtoSAM.__init__:184-203 with the same defaults as
+validation_protosam.py:220-232.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from protosam_tpu.models.io_protocol import (
+    ALPNetInput,
+    BOTH_MODE,
+    POINT_MODES,
+)
+from protosam_tpu.models.sam.sam import (
+    DEFAULT_PIXEL_MEAN,
+    DEFAULT_PIXEL_STD,
+    preprocess as sam_preprocess,
+)
+from protosam_tpu.ops.cca import (
+    ComponentStats,
+    component_confidences,
+    connected_components,
+)
+from protosam_tpu.ops.prompts import build_sam_prompts
+from protosam_tpu.ops.resize import resize_bilinear, resize_nearest
+
+
+@dataclasses.dataclass(frozen=True)
+class ProtoSAMConfig:
+    """Static pipeline flags (reference ProtoSAM.__init__:184-203)."""
+
+    image_size: tuple[int, int] = (1024, 1024)
+    num_points_for_sam: int = 1
+    use_points: bool = True
+    use_bbox: bool = True
+    use_mask: bool = False
+    use_neg_points: bool = False
+    use_cca: bool = True
+    point_mode: str = BOTH_MODE
+    coarse_pred_only: bool = False
+    max_ccs: int = 8
+
+    def __post_init__(self):
+        if self.point_mode not in POINT_MODES:
+            raise ValueError(f"point mode must be one of {POINT_MODES}")
+        if not (self.use_bbox or self.use_points or self.use_mask):
+            raise ValueError("must use at least one of bbox, points, or mask")
+
+
+def _keep_best_component(stats: ComponentStats, conf: jax.Array
+                         ) -> tuple[ComponentStats, jax.Array]:
+    """'cca' mode (reference util/utils.py:496-541): reduce the component set
+    to the single most-confident one (slot 0), or none if best conf is 0."""
+    best = jnp.argmax(conf)
+    any_conf = jnp.max(conf) > 0
+    k = stats.valid.shape[0]
+    sel = jnp.arange(k) == 0
+
+    best_mask = (stats.labels == best + 1) & any_conf
+    labels = best_mask.astype(jnp.int32)
+    valid = sel & any_conf
+    take = lambda a: jnp.where(
+        sel.reshape((k,) + (1,) * (a.ndim - 1)), a[best][None], a * 0)
+    new = ComponentStats(
+        labels=labels,
+        num=jnp.where(any_conf, 1, 0).astype(jnp.int32),
+        valid=valid,
+        areas=take(stats.areas),
+        bboxes=take(stats.bboxes),
+        centroids=take(stats.centroids),
+    )
+    new_conf = jnp.where(sel, conf[best], 0.0) * any_conf
+    return new, new_conf
+
+
+class ProtoSAM:
+    """Public pipeline object; API parity with reference ProtoSAM:
+    ``forward(query_image, coarse_model_input, degrees_rotate=0)``
+    -> ``(pred, scores)``.
+
+    Construction takes the flax modules + their params instead of torch
+    nn.Modules; the jitted core is built once per (static shape, flags).
+    """
+
+    def __init__(self, coarse_model, coarse_params, sam_model, sam_params,
+                 config: ProtoSAMConfig = ProtoSAMConfig()):
+        self.coarse_model = coarse_model
+        self.coarse_params = coarse_params
+        self.sam_model = sam_model
+        self.sam_params = sam_params
+        self.config = config
+        self._jit_forward = jax.jit(
+            self._forward_core, static_argnames=("isval", "val_wsize"))
+
+    # ---- jitted core ------------------------------------------------------
+
+    def _coarse_logits(self, coarse_params, inp_arrays, isval, val_wsize):
+        supp, fg, bg, qry, supp_fts = inp_arrays
+        out = self.coarse_model.apply(
+            {"params": coarse_params}, supp, fg, bg, qry, isval, val_wsize,
+            supp_fts=supp_fts)
+        return out["logits"]
+
+    def _forward_core(self, coarse_params, sam_params, supp, fg, bg, qry,
+                      supp_fts, isval=True, val_wsize=2):
+        cfg = self.config
+        original_size = qry.shape[-2:]
+        logits = self._coarse_logits(coarse_params,
+                                     (supp, fg, bg, qry, supp_fts),
+                                     isval, val_wsize)
+
+        if cfg.coarse_pred_only:
+            pred = jnp.argmax(logits, axis=1)[0]
+            probs = jax.nn.softmax(logits, axis=1)
+            conf = _confidence_from_logits(logits)
+            if cfg.use_cca:
+                stats = connected_components(pred.astype(jnp.float32),
+                                             cfg.max_ccs)
+                c = component_confidences(stats, probs[0, 1],
+                                          pred.astype(jnp.float32))
+                stats, c = _keep_best_component(stats, c)
+                pred = (stats.labels > 0).astype(jnp.float32) * pred
+                conf = jnp.max(c)
+            return pred, conf[None], logits
+
+        # resize query + logits into the SAM frame (reference :592-594)
+        qimg = resize_bilinear(qry, cfg.image_size)
+        logits_hi = resize_bilinear(logits, cfg.image_size)
+        probs = jax.nn.softmax(logits_hi, axis=1)
+        pred = jnp.argmax(probs, axis=1)[0].astype(jnp.float32)
+
+        stats = connected_components(pred, cfg.max_ccs)
+        conf = component_confidences(stats, probs[0, 1], pred)
+        if cfg.use_cca:
+            stats, conf = _keep_best_component(stats, conf)
+
+        pts = build_sam_prompts(
+            probs[0, 1], probs[0, 0], stats,
+            num_points=cfg.num_points_for_sam, point_mode=cfg.point_mode,
+            use_neg_points=cfg.use_neg_points) if cfg.use_points else None
+        boxes = stats.bboxes.astype(jnp.float32) if cfg.use_bbox else None
+
+        # --- SAM input image: the reference's uint8 min-max renorm quirk ---
+        # (ProtoSAM.py:651-660): sam_trans with mean 0/std 1 (identity), then
+        # min-max scale to [0,255] and uint8 truncation, then the predictor's
+        # own ImageNet-stats normalization (predictor.py:34-60 + sam.py:163).
+        q = qimg[0].transpose(1, 2, 0)  # HWC
+        q = (q - q.min()) / (q.max() - q.min()) * 255.0
+        q = jnp.floor(q).astype(jnp.float32)
+        q = sam_preprocess(q[None], self.sam_model.image_size,
+                           DEFAULT_PIXEL_MEAN, DEFAULT_PIXEL_STD)
+
+        emb = self.sam_model.apply({"params": sam_params}, q,
+                                   method=self.sam_model.encode_image)
+
+        coords = pts.coords if pts is not None else jnp.zeros(
+            (cfg.max_ccs if not cfg.use_cca else cfg.max_ccs, 1, 2))
+        labels = pts.labels if pts is not None else -jnp.ones(
+            coords.shape[:2], jnp.int32)
+        # multimask unless cca mode (reference predict_w_points_bbox:522);
+        # best_pred_idx = 0 either way (:525)
+        low_res, iou = self.sam_model.apply(
+            {"params": sam_params}, emb, coords, labels, boxes, None,
+            not cfg.use_cca, boxes is None, method=self.sam_model.decode)
+        masks_low = low_res[:, 0]          # (K, 256, 256)
+        scores = iou[:, 0]
+
+        # postprocess (upstream pip SAM: bilinear to 1024², crop is identity
+        # at square 1024 inputs, bilinear to original -- original here is the
+        # 1024² frame, so a single resize) then threshold at 0
+        masks = resize_bilinear(masks_low[:, None],
+                                (self.sam_model.image_size,) * 2)[:, 0]
+        bin_masks = (masks > 0.0) & stats.valid[:, None, None]
+        summed = jnp.any(bin_masks, axis=0).astype(jnp.float32)
+
+        # empty coarse pred -> return the coarse argmax directly
+        # (reference :612-613), here as a device-side select
+        empty = jnp.max(pred) == 0
+        out = jnp.where(empty, pred, summed)
+        out = resize_nearest(out[None, None], original_size)[0, 0]
+        scores = jnp.where(empty, 0.0, scores * stats.valid)
+        return out, scores, logits
+
+    # ---- batched volume mode (the TPU throughput path) --------------------
+
+    @functools.cached_property
+    def _jit_volume(self):
+        """vmap the whole slice program over a stack of query slices.
+
+        The support set is encoded ONCE per volume (the reference re-encodes
+        it with every slice, grid_proto_fewshot.py:181-184 — encoding is
+        per-sample so caching is numerically identical) and every slice's
+        coarse model, CCA, prompt extraction, SAM encode and SAM decode run
+        as one batched XLA program.
+        """
+        def volume(coarse_params, sam_params, supp, fg, bg, qrys, supp_fts,
+                   val_wsize):
+            core = functools.partial(self._forward_core, isval=True,
+                                     val_wsize=val_wsize)
+            return jax.vmap(
+                core, in_axes=(None, None, None, None, None, 0, None)
+            )(coarse_params, sam_params, supp, fg, bg, qrys[:, None], supp_fts)
+
+        return jax.jit(volume, static_argnames=("val_wsize",))
+
+    @functools.cached_property
+    def _jit_supp_fts(self):
+        def enc(coarse_params, supp):
+            return self.coarse_model.apply({"params": coarse_params}, supp,
+                                           method=self.coarse_model.get_features)
+        return jax.jit(enc)
+
+    def forward_volume(self, queries, coarse_model_input: ALPNetInput,
+                       slice_batch: int = 8):
+        """Segment a full slice stack: queries (N, 3, H, W) ->
+        (preds (N, H, W), scores (N, max_ccs)).
+
+        Pads N up to a multiple of ``slice_batch`` so the program compiles
+        once per batch shape.
+        """
+        inp = coarse_model_input
+        supp_fts = inp.supp_fts
+        if supp_fts is None:
+            supp_fts = self._jit_supp_fts(self.coarse_params, inp.supp_imgs)
+        n = queries.shape[0]
+        pad = (-n) % slice_batch
+        if pad:
+            queries = jnp.concatenate(
+                [queries, jnp.repeat(queries[-1:], pad, axis=0)], axis=0)
+        preds, scores = [], []
+        for i in range(0, queries.shape[0], slice_batch):
+            p, s, _ = self._jit_volume(
+                self.coarse_params, self.sam_params, inp.supp_imgs,
+                inp.fore_mask, inp.back_mask, queries[i:i + slice_batch],
+                supp_fts, inp.val_wsize)
+            preds.append(p)
+            scores.append(s)
+        preds = jnp.concatenate(preds, axis=0)[:n]
+        scores = jnp.concatenate(scores, axis=0)[:n]
+        return preds, scores
+
+    # ---- public API -------------------------------------------------------
+
+    def forward(self, query_image, coarse_model_input: ALPNetInput,
+                degrees_rotate: int = 0):
+        """(pred (H, W), scores (max_ccs,)) — reference ProtoSAM.forward."""
+        if degrees_rotate != 0:
+            raise NotImplementedError(
+                "rotation TTA lands with the eval-modes milestone")
+        inp = coarse_model_input
+        inp.set_query_images(query_image)
+        supp_fts = inp.supp_fts
+        pred, scores, _ = self._jit_forward(
+            self.coarse_params, self.sam_params, inp.supp_imgs, inp.fore_mask,
+            inp.back_mask, inp.qry_imgs, supp_fts,
+            isval=inp.isval, val_wsize=inp.val_wsize)
+        return pred, scores
+
+    __call__ = forward
+
+
+def _confidence_from_logits(logits: jax.Array) -> jax.Array:
+    """Reference util/utils.py:429-434."""
+    probs = jax.nn.softmax(logits, axis=1)[:, 1].reshape(-1)
+    pred = (probs >= 0.5).astype(jnp.float32)
+    return (probs * pred).sum() / (pred.sum() + 1e-6)
