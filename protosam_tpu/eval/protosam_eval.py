@@ -85,6 +85,8 @@ def resolve_test_class(cfg: Config) -> int:
 
 def run_eval(cfg: Config, pipe: ProtoSAM | None = None,
              mode: str = "volume") -> dict:
+    if cfg.dataset.lower() == "polyps":
+        return run_eval_polyp(cfg, pipe)
     base = cfg.dataset.split("_")[0]
     suffix = "_672" if cfg.input_size[0] > 256 else ""
     data_key = base + suffix if base + suffix in cfg.data_dirs else cfg.dataset
@@ -179,3 +181,47 @@ def run_eval(cfg: Config, pipe: ProtoSAM | None = None,
                   "w") as f:
             json.dump(result, f, indent=2)
     return result
+
+
+def run_eval_polyp(cfg: Config, pipe: ProtoSAM | None = None) -> dict:
+    """Polyp one-shot eval (reference validation_protosam.py:244-249,
+    307-313): support sampled from the train split, queries from test."""
+    from protosam_tpu.data.polyp import PolypDataset
+
+    sam_frame = cfg.input_size[0] if cfg.input_size[0] >= 256 else 1024
+    tr = PolypDataset(cfg.data_dir("polyps"), train=True,
+                      image_size=sam_frame, seed=cfg.seed)
+    te = PolypDataset(cfg.data_dir("polyps"), train=False,
+                      image_size=sam_frame, seed=cfg.seed)
+    pipe = pipe or build_models(cfg)
+
+    sup_imgs, sup_gts, _ = tr.get_support(
+        n_support=cfg.n_support, text_file=cfg.support_txt_file)
+    sup_img = jnp.asarray(np.concatenate(sup_imgs, axis=0))
+    sup_msk = jnp.asarray(np.concatenate(sup_gts, axis=0))
+
+    mean_dice, mean_prec, mean_rec, mean_iou = [], [], [], []
+    cases = defaultdict(list)
+    t0 = time.time()
+    for i in range(len(te)):
+        s = te[i]
+        inp = ALPNetInput(sup_img, sup_msk, jnp.asarray(s["image"])[None],
+                          isval=True, val_wsize=cfg.val_wsize)
+        pred, _ = pipe.forward(jnp.asarray(s["image"])[None], inp)
+        m = dice_iou_precision_recall(np.asarray(pred), s["label"])
+        mean_dice.append(m["dice"])
+        mean_prec.append(m["precision"])
+        mean_rec.append(m["recall"])
+        mean_iou.append(m["iou"])
+        cases[s["case"]].append(m["dice"])
+    elapsed = time.time() - t0
+    return {
+        "mar_val_batches_meanDice": float(np.mean(mean_dice)),
+        "mar_val_batches_meanPrec": float(np.mean(mean_prec)),
+        "mar_val_al_batches_meanRec": float(np.mean(mean_rec)),
+        "mar_val_al_batches_meanIOU": float(np.mean(mean_iou)),
+        "cases": {k: {"meanDice": float(np.mean(v))}
+                  for k, v in cases.items()},
+        "n_slices": len(te),
+        "slices_per_sec": len(te) / elapsed if elapsed else 0.0,
+    }

@@ -69,12 +69,17 @@ class Attention(nn.Module):
     """Multi-head attention with decomposed relative position bias.
 
     Input [B, H, W, C] (a window or the full grid); shapes are static so the
-    rel-pos gather tables are traced once.
+    rel-pos gather tables are traced once.  Large (global) grids are
+    processed in sequential query-row chunks: materializing the full
+    (B, heads, 4096, 4096) f32 attention matrix of a 64×64 global block
+    costs ~6 GB at batch 8 — chunking bounds peak memory at
+    (B, heads, chunk·W, H·W) with identical numerics.
     """
 
     num_heads: int
     use_rel_pos: bool = True
     dtype: jnp.dtype = jnp.float32
+    q_chunk_rows: int = 8   # row-chunk size for grids with >= 2048 tokens
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -86,9 +91,6 @@ class Attention(nn.Module):
         qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)          # each B,HW,heads,hd
 
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
-                          preferred_element_type=jnp.float32)
-
         if self.use_rel_pos:
             rel_h = self.param("rel_pos_h", nn.initializers.zeros,
                                (2 * h - 1, head_dim))
@@ -96,18 +98,39 @@ class Attention(nn.Module):
                                (2 * w - 1, head_dim))
             Rh = _rel_pos_table(rel_h.astype(self.dtype), h, h)   # (h, h, hd)
             Rw = _rel_pos_table(rel_w.astype(self.dtype), w, w)   # (w, w, hd)
-            rq = q.reshape(b, h, w, self.num_heads, head_dim)
-            bias_h = jnp.einsum("bhwnc,hkc->bnhwk", rq, Rh,
-                                preferred_element_type=jnp.float32)
-            bias_w = jnp.einsum("bhwnc,wkc->bnhwk", rq, Rw,
-                                preferred_element_type=jnp.float32)
-            attn = (attn.reshape(b, self.num_heads, h, w, h, w)
-                    + bias_h[..., None] + bias_w[..., None, :]
-                    ).reshape(b, self.num_heads, h * w, h * w)
+        else:
+            Rh = Rw = None
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
+        def attend(q_rows, Rh_rows):
+            """q_rows: (B, ch, W, heads, hd); Rh_rows: (ch, h, hd)."""
+            ch = q_rows.shape[1]
+            qf = q_rows.reshape(b, ch * w, self.num_heads, head_dim)
+            attn = jnp.einsum("bqhd,bkhd->bhqk", qf * scale, k,
+                              preferred_element_type=jnp.float32)
+            if self.use_rel_pos:
+                bias_h = jnp.einsum("bhwnc,hkc->bnhwk", q_rows, Rh_rows,
+                                    preferred_element_type=jnp.float32)
+                bias_w = jnp.einsum("bhwnc,wkc->bnhwk", q_rows, Rw,
+                                    preferred_element_type=jnp.float32)
+                attn = (attn.reshape(b, self.num_heads, ch, w, h, w)
+                        + bias_h[..., None] + bias_w[..., None, :]
+                        ).reshape(b, self.num_heads, ch * w, h * w)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            return jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                              preferred_element_type=jnp.float32
+                              ).astype(self.dtype)   # (B, ch*W, heads, hd)
+
+        rq = q.reshape(b, h, w, self.num_heads, head_dim)
+        if h * w >= 2048 and h % self.q_chunk_rows == 0:
+            nch = h // self.q_chunk_rows
+            rq_c = rq.reshape(b, nch, self.q_chunk_rows, w, self.num_heads,
+                              head_dim).transpose(1, 0, 2, 3, 4, 5)
+            Rh_c = (Rh.reshape(nch, self.q_chunk_rows, h, head_dim)
+                    if self.use_rel_pos else jnp.zeros((nch, 1)))
+            out = jax.lax.map(lambda args: attend(*args), (rq_c, Rh_c))
+            out = out.transpose(1, 0, 2, 3, 4).reshape(b, h * w, c)
+        else:
+            out = attend(rq, Rh).reshape(b, h * w, c)
         out = out.reshape(b, h, w, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 

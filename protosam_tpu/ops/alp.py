@@ -101,10 +101,12 @@ def score_global(qry_fts: jax.Array, glb_protos: jax.Array) -> jax.Array:
 
     qry_fts: (N, C, H, W); glb_protos: (S, C).  Returns (N, 1, H, W).
     """
+    from protosam_tpu.ops.norm import clamped_norm
+
     dot = jnp.einsum("nchw,sc->nshw", qry_fts, glb_protos,
                      preferred_element_type=jnp.float32)
-    qn = jnp.maximum(jnp.linalg.norm(qry_fts, axis=1), 1e-4)   # (N, H, W)
-    pnorm = jnp.maximum(jnp.linalg.norm(glb_protos, axis=1), 1e-4)  # (S,)
+    qn = clamped_norm(qry_fts, axis=1)                    # (N, H, W)
+    pnorm = clamped_norm(glb_protos, axis=1)              # (S,)
     cos = dot / (qn[:, None] * pnorm[None, :, None, None])
     return SIM_SCALE * jnp.max(cos, axis=1, keepdims=True)
 

@@ -126,11 +126,27 @@ class ProtoSAM:
 
     def _forward_core(self, coarse_params, sam_params, supp, fg, bg, qry,
                       supp_fts, isval=True, val_wsize=2):
-        cfg = self.config
-        original_size = qry.shape[-2:]
         logits = self._coarse_logits(coarse_params,
                                      (supp, fg, bg, qry, supp_fts),
                                      isval, val_wsize)
+        return self._refine_core(sam_params, qry, logits)
+
+    @functools.cached_property
+    def _jit_coarse(self):
+        def coarse(coarse_params, supp, fg, bg, qry, supp_fts, isval=True,
+                   val_wsize=2):
+            return self._coarse_logits(coarse_params,
+                                       (supp, fg, bg, qry, supp_fts),
+                                       isval, val_wsize)
+        return jax.jit(coarse, static_argnames=("isval", "val_wsize"))
+
+    @functools.cached_property
+    def _jit_refine(self):
+        return jax.jit(self._refine_core)
+
+    def _refine_core(self, sam_params, qry, logits):
+        cfg = self.config
+        original_size = qry.shape[-2:]
 
         if cfg.coarse_pred_only:
             pred = jnp.argmax(logits, axis=1)[0]
@@ -145,6 +161,22 @@ class ProtoSAM:
                 pred = (stats.labels > 0).astype(jnp.float32) * pred
                 conf = jnp.max(c)
             return pred, conf[None], logits
+
+        ex = self._extract_prompts(qry, logits)
+        emb = self.sam_model.apply({"params": sam_params}, ex["sam_image"][None],
+                                   method=self.sam_model.encode_image)
+        out, scores = self._decode_stage(
+            sam_params, emb, ex["coords"][None], ex["labels"][None],
+            None if ex["boxes"] is None else ex["boxes"][None],
+            ex["valid"][None], ex["pred"][None], original_size)
+        return out[0], scores[0], logits
+
+    def _extract_prompts(self, qry, logits):
+        """Per-slice device-side prompt extraction: coarse logits -> CCA ->
+        points/boxes + the preprocessed SAM input image.  No SAM weights are
+        touched, so the volume path can vmap this and batch the encoder
+        natively."""
+        cfg = self.config
 
         # resize query + logits into the SAM frame (reference :592-594)
         qimg = resize_bilinear(qry, cfg.image_size)
@@ -163,6 +195,20 @@ class ProtoSAM:
             use_neg_points=cfg.use_neg_points) if cfg.use_points else None
         boxes = stats.bboxes.astype(jnp.float32) if cfg.use_bbox else None
 
+        coords = pts.coords if pts is not None else jnp.zeros(
+            (cfg.max_ccs, 1, 2))
+        labels = pts.labels if pts is not None else -jnp.ones(
+            coords.shape[:2], jnp.int32)
+
+        # cca mode keeps a single component at slot 0 — slice the padded
+        # rows away so the decoder doesn't run 8x dead work
+        if cfg.use_cca:
+            coords, labels = coords[:1], labels[:1]
+            boxes = None if boxes is None else boxes[:1]
+            valid = stats.valid[:1]
+        else:
+            valid = stats.valid
+
         # --- SAM input image: the reference's uint8 min-max renorm quirk ---
         # (ProtoSAM.py:651-660): sam_trans with mean 0/std 1 (identity), then
         # min-max scale to [0,255] and uint8 truncation, then the predictor's
@@ -171,58 +217,77 @@ class ProtoSAM:
         q = (q - q.min()) / (q.max() - q.min()) * 255.0
         q = jnp.floor(q).astype(jnp.float32)
         q = sam_preprocess(q[None], self.sam_model.image_size,
-                           DEFAULT_PIXEL_MEAN, DEFAULT_PIXEL_STD)
+                           DEFAULT_PIXEL_MEAN, DEFAULT_PIXEL_STD)[0]
 
-        emb = self.sam_model.apply({"params": sam_params}, q,
-                                   method=self.sam_model.encode_image)
+        return {"sam_image": q, "coords": coords, "labels": labels,
+                "boxes": boxes, "valid": valid, "pred": pred}
 
-        coords = pts.coords if pts is not None else jnp.zeros(
-            (cfg.max_ccs if not cfg.use_cca else cfg.max_ccs, 1, 2))
-        labels = pts.labels if pts is not None else -jnp.ones(
-            coords.shape[:2], jnp.int32)
+    def _decode_stage(self, sam_params, emb, coords, labels, boxes, valid,
+                      pred, original_size):
+        """Batched SAM decode over (B slices × K components).
+
+        emb (B, 64, 64, 256); coords (B, K, P, 2); labels (B, K, P);
+        boxes (B, K, 4) | None; valid (B, K); pred (B, Hs, Ws).
+        Returns (out (B, H, W), scores (B, K)).
+        """
+        cfg = self.config
+        b, k = coords.shape[:2]
+        emb_rep = jnp.repeat(emb, k, axis=0)                   # (B*K, ...)
+        flat = lambda x: x.reshape((b * k,) + x.shape[2:])
+
         # multimask unless cca mode (reference predict_w_points_bbox:522);
         # best_pred_idx = 0 either way (:525)
         low_res, iou = self.sam_model.apply(
-            {"params": sam_params}, emb, coords, labels, boxes, None,
+            {"params": sam_params}, emb_rep, flat(coords), flat(labels),
+            None if boxes is None else flat(boxes), None,
             not cfg.use_cca, boxes is None, method=self.sam_model.decode)
-        masks_low = low_res[:, 0]          # (K, 256, 256)
-        scores = iou[:, 0]
+        masks_low = low_res[:, 0].reshape(b, k, *low_res.shape[-2:])
+        scores = iou[:, 0].reshape(b, k)
 
         # postprocess (upstream pip SAM: bilinear to 1024², crop is identity
-        # at square 1024 inputs, bilinear to original -- original here is the
-        # 1024² frame, so a single resize) then threshold at 0
-        masks = resize_bilinear(masks_low[:, None],
-                                (self.sam_model.image_size,) * 2)[:, 0]
-        bin_masks = (masks > 0.0) & stats.valid[:, None, None]
-        summed = jnp.any(bin_masks, axis=0).astype(jnp.float32)
+        # at square 1024 inputs) then threshold at 0 and OR over components
+        masks = resize_bilinear(masks_low,
+                                (self.sam_model.image_size,) * 2)
+        bin_masks = (masks > 0.0) & valid[:, :, None, None]
+        summed = jnp.any(bin_masks, axis=1).astype(jnp.float32)
 
         # empty coarse pred -> return the coarse argmax directly
         # (reference :612-613), here as a device-side select
-        empty = jnp.max(pred) == 0
-        out = jnp.where(empty, pred, summed)
-        out = resize_nearest(out[None, None], original_size)[0, 0]
-        scores = jnp.where(empty, 0.0, scores * stats.valid)
-        return out, scores, logits
+        empty = jnp.max(pred, axis=(1, 2)) == 0
+        out = jnp.where(empty[:, None, None], pred, summed)
+        out = resize_nearest(out[:, None], original_size)[:, 0]
+        scores = jnp.where(empty[:, None], 0.0, scores * valid)
+        return out, scores
 
     # ---- batched volume mode (the TPU throughput path) --------------------
 
     @functools.cached_property
     def _jit_volume(self):
-        """vmap the whole slice program over a stack of query slices.
+        """One XLA program per slice batch: the coarse model and both SAM
+        stages run natively batched over slices (the encoders see the full
+        batch — no vmap around the Pallas flash-attention kernel), while the
+        per-slice CCA/prompt math is vmapped.
 
         The support set is encoded ONCE per volume (the reference re-encodes
         it with every slice, grid_proto_fewshot.py:181-184 — encoding is
-        per-sample so caching is numerically identical) and every slice's
-        coarse model, CCA, prompt extraction, SAM encode and SAM decode run
-        as one batched XLA program.
+        per-sample so caching is numerically identical).
         """
         def volume(coarse_params, sam_params, supp, fg, bg, qrys, supp_fts,
                    val_wsize):
-            core = functools.partial(self._forward_core, isval=True,
-                                     val_wsize=val_wsize)
-            return jax.vmap(
-                core, in_axes=(None, None, None, None, None, 0, None)
-            )(coarse_params, sam_params, supp, fg, bg, qrys[:, None], supp_fts)
+            n = qrys.shape[0]
+            out = self.coarse_model.apply(
+                {"params": coarse_params}, supp, fg, bg, qrys, True,
+                val_wsize, supp_fts=supp_fts)
+            logits = out["logits"]                      # (N, 2, H, W)
+            ex = jax.vmap(self._extract_prompts)(qrys[:, None],
+                                                 logits[:, None])
+            embs = self.sam_model.apply({"params": sam_params},
+                                        ex["sam_image"],
+                                        method=self.sam_model.encode_image)
+            preds, scores = self._decode_stage(
+                sam_params, embs, ex["coords"], ex["labels"], ex["boxes"],
+                ex["valid"], ex["pred"], qrys.shape[-2:])
+            return preds, scores, logits
 
         return jax.jit(volume, static_argnames=("val_wsize",))
 
@@ -266,11 +331,30 @@ class ProtoSAM:
 
     def forward(self, query_image, coarse_model_input: ALPNetInput,
                 degrees_rotate: int = 0):
-        """(pred (H, W), scores (max_ccs,)) — reference ProtoSAM.forward."""
-        if degrees_rotate != 0:
-            raise NotImplementedError(
-                "rotation TTA lands with the eval-modes milestone")
+        """(pred (H, W), scores (max_ccs,)) — reference ProtoSAM.forward.
+
+        degrees_rotate != 0 applies the rotate-expand-resize TTA of reference
+        ProtoSAM.py:543-556: the coarse logits are computed on the rotated
+        query and un-rotated before prompt extraction.
+        """
+        from protosam_tpu.ops.rotate import reverse_tensor, rotate_tensor_no_crop
+
         inp = coarse_model_input
+        if degrees_rotate != 0:
+            rotated, (rh, rw) = rotate_tensor_no_crop(
+                jnp.asarray(query_image), degrees_rotate)
+            inp.set_query_images(rotated)
+            logits_rot = self._jit_coarse(
+                self.coarse_params, inp.supp_imgs, inp.fore_mask,
+                inp.back_mask, inp.qry_imgs, inp.supp_fts,
+                isval=inp.isval, val_wsize=inp.val_wsize)
+            logits = reverse_tensor(logits_rot, int(rh), int(rw),
+                                    -degrees_rotate)
+            inp.set_query_images(query_image)
+            pred, scores, _ = self._jit_refine(
+                self.sam_params, jnp.asarray(query_image), logits)
+            return pred, scores
+
         inp.set_query_images(query_image)
         supp_fts = inp.supp_fts
         pred, scores, _ = self._jit_forward(

@@ -166,8 +166,14 @@ def load_config(argv: list[str] | None = None, **kwargs) -> Config:
     if argv:
         for k, v in parse_overrides(argv).items():
             if k.startswith("path."):
+                # sacred-style nested path overrides: path.log_dir=...,
+                # path.<DATASET>.data_dir=...
                 if k == "path.log_dir":
                     cfg.log_dir = v
+                else:
+                    parts = k.split(".")
+                    if len(parts) == 3 and parts[2] == "data_dir":
+                        cfg.data_dirs[parts[1]] = v
                 continue
             if not hasattr(cfg, k):
                 # tolerate reference-only keys (sacred passthroughs)

@@ -1,0 +1,41 @@
+"""Chunked global attention must equal the full-matrix computation."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from protosam_tpu.models.sam.image_encoder import Attention, _rel_pos_table
+
+
+def test_chunked_equals_full():
+    b, h, w, c, heads = 2, 64, 32, 16, 2     # 2048 tokens -> chunked path
+    m = Attention(num_heads=heads, use_rel_pos=True, q_chunk_rows=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, c))
+    params = m.init(jax.random.PRNGKey(1), x)["params"]
+    # non-trivial rel pos tables
+    params = jax.tree.map(
+        lambda a: a + 0.01 * np.random.default_rng(0).standard_normal(a.shape
+                                                                      ).astype(a.dtype),
+        params)
+    got = m.apply({"params": params}, x)
+
+    # reference: full attention with the same weights
+    hd = c // heads
+    qkv = x.reshape(b, -1, c) @ params["qkv"]["kernel"] + params["qkv"]["bias"]
+    qkv = qkv.reshape(b, h * w, 3, heads, hd)
+    q, k, v = jnp.moveaxis(qkv, 2, 0)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q * hd ** -0.5, k)
+    Rh = _rel_pos_table(params["rel_pos_h"], h, h)
+    Rw = _rel_pos_table(params["rel_pos_w"], w, w)
+    rq = q.reshape(b, h, w, heads, hd)
+    bh = jnp.einsum("bhwnc,hkc->bnhwk", rq, Rh)
+    bw = jnp.einsum("bhwnc,wkc->bnhwk", rq, Rw)
+    attn = (attn.reshape(b, heads, h, w, h, w) + bh[..., None]
+            + bw[..., None, :]).reshape(b, heads, h * w, h * w)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h * w, c)
+    want = out @ params["proj"]["kernel"] + params["proj"]["bias"]
+    want = want.reshape(b, h, w, c)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -36,7 +36,8 @@ def test_pipeline_end_to_end(tiny_pipeline, use_cca):
     inp = ALPNetInput([[supp]], [[fg]], qry, isval=True, val_wsize=2)
     pred, scores = pipe.forward(qry, inp)
     assert pred.shape == (126, 126)
-    assert scores.shape == (4,)
+    # cca mode decodes only the single kept component
+    assert scores.shape == ((1,) if use_cca else (4,))
     assert set(np.unique(np.asarray(pred))) <= {0.0, 1.0}
     assert np.isfinite(np.asarray(scores)).all()
 
