@@ -98,11 +98,40 @@ class MedicalVolumeDataset:
     # -- loading -----------------------------------------------------------
 
     def _read_dataset(self):
+        from protosam_tpu.native import native_available
+
+        use_native = native_available() and not self.use_clahe
         glb_idx = 0
         for scan_id in self.pid_curr_load:
             img_meta = read_nii(f"{self.base_dir}/image_{scan_id}.nii.gz",
                                 peel_info=False)
             self.info_by_scan[scan_id] = img_meta
+            if use_native and self.img_modality == "MR":
+                # C++ single-pass read+resize+normalize (hot ingest path)
+                from protosam_tpu.native import preprocess_volume_native
+                from protosam_tpu.native.feeder import read_volume_native
+
+                vol, _ = read_volume_native(
+                    f"{self.base_dir}/image_{scan_id}.nii.gz")
+                img = preprocess_volume_native(
+                    vol, self.image_size, "MR").transpose(1, 2, 0)
+                lbv, _ = read_volume_native(
+                    f"{self.base_dir}/label_{scan_id}.nii.gz")
+                lb = np.stack([cv2.resize(
+                    lbv[i], (self.image_size, self.image_size),
+                    interpolation=cv2.INTER_NEAREST)
+                    for i in range(lbv.shape[0])], axis=-1)
+                nframe = img.shape[-1]
+                self.scan_z_idx[scan_id] = [-1] * nframe
+                for ii in range(nframe):
+                    self.actual_dataset.append(SliceRecord(
+                        img=img[..., ii:ii + 1], lb=lb[..., ii:ii + 1],
+                        is_start=(ii == 0), is_end=(ii == nframe - 1),
+                        nframe=nframe if ii == 0 else -1,
+                        scan_id=scan_id, z_id=ii))
+                    self.scan_z_idx[scan_id][ii] = glb_idx
+                    glb_idx += 1
+                continue
             img = img_meta.array.transpose(1, 2, 0)  # (H, W, Z)
             if self.use_clahe:
                 img = np.stack([self._clahe.apply(img[..., i].astype(np.uint8))

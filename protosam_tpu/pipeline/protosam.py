@@ -327,6 +327,47 @@ class ProtoSAM:
         scores = jnp.concatenate(scores, axis=0)[:n]
         return preds, scores
 
+    def forward_volume_sharded(self, queries, coarse_model_input: ALPNetInput,
+                               mesh, slice_batch: int | None = None):
+        """Multi-chip volume inference: slices sharded over the mesh 'data'
+        axis, params replicated — XLA partitions the whole slice program
+        (encoders, CCA, prompts, SAM) across chips and inserts the
+        collectives.  The reference has no distributed path at all
+        (SURVEY.md §2.6); the z-stack is embarrassingly parallel.
+
+        queries (N, 3, H, W); N is padded to a multiple of the data-axis
+        size.  Returns (preds (N, H, W), scores).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        inp = coarse_model_input
+        supp_fts = inp.supp_fts
+        if supp_fts is None:
+            supp_fts = self._jit_supp_fts(self.coarse_params, inp.supp_imgs)
+        n = queries.shape[0]
+        n_data = mesh.shape["data"]
+        batch = slice_batch or n_data
+        batch = -(-batch // n_data) * n_data
+        pad = (-n) % batch
+        if pad:
+            queries = jnp.concatenate(
+                [queries, jnp.repeat(queries[-1:], pad, axis=0)], axis=0)
+        shard = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        put = functools.partial(jax.device_put, device=repl)
+        args = (jax.device_put(self.coarse_params, repl),
+                jax.device_put(self.sam_params, repl),
+                put(inp.supp_imgs), put(inp.fore_mask), put(inp.back_mask))
+        supp_fts = jax.device_put(supp_fts, repl)
+        preds, scores = [], []
+        for i in range(0, queries.shape[0], batch):
+            q = jax.device_put(queries[i:i + batch], shard)
+            p, s, _ = self._jit_volume(*args, q, supp_fts, inp.val_wsize)
+            preds.append(p)
+            scores.append(s)
+        return (jnp.concatenate(preds, axis=0)[:n],
+                jnp.concatenate(scores, axis=0)[:n])
+
     # ---- public API -------------------------------------------------------
 
     def forward(self, query_image, coarse_model_input: ALPNetInput,
