@@ -249,6 +249,50 @@ class MedicalVolumeDataset:
             bg[label == cid] = 0
         return {"fg_mask": fg, "bg_mask": bg}
 
+    def get_support_scan(self, curr_class: int, class_idx: list,
+                         scan_idx: list) -> dict:
+        """Whole-volume support (reference get_support_scan :547-570):
+        every slice of the chosen scan as one multi-shot support stack."""
+        self.potential_support_sid = [self.pid_curr_load[i] for i in scan_idx]
+        sid = self.potential_support_sid[0]
+        imgs, lbs = [], []
+        for gi in self.scan_z_idx[sid]:
+            rec = self.actual_dataset[gi]
+            imgs.append(self._assemble_image(rec, gi))
+            lbs.append(np.float32(rec.lb)[..., 0])
+        img = np.stack(imgs, axis=0)
+        lb = np.stack(lbs, axis=0)
+        return {"class_ids": [[curr_class]],
+                "support_images": [[img]],
+                "support_mask": [[self.get_fgbg_masks(lb, curr_class,
+                                                      class_idx)]]}
+
+    def get_support_multiple_classes(self, class_idx: list, scan_idx: list,
+                                     npart: int) -> dict:
+        """Per-class chunked supports (reference
+        get_support_multiple_classes :573-695)."""
+        out = {"class_ids": [], "support_images": [], "support_mask": []}
+        for cls in class_idx:
+            sup = self.get_support(cls, class_idx, scan_idx, npart)
+            out["class_ids"] += sup["class_ids"]
+            out["support_images"] += sup["support_images"]
+            out["support_mask"] += sup["support_mask"]
+        return out
+
+    def get_scan(self, index: int) -> dict:
+        """MODE_FULL_SCAN item (reference __get_ct_scan___ :249-277): the
+        whole (Z, H, W) stack of one scan."""
+        scan_id = list(self.scan_z_idx)[index % len(self.scan_z_idx)]
+        idxs = self.scan_z_idx[scan_id]
+        imgs = np.concatenate([self.actual_dataset[i].img for i in idxs],
+                              axis=-1).transpose(2, 0, 1)
+        lbs = np.concatenate([self.actual_dataset[i].lb for i in idxs],
+                             axis=-1).transpose(2, 0, 1)
+        img = np.float32(imgs)[None]
+        if self.tile_z_dim > 1:
+            img = np.repeat(img, self.tile_z_dim, axis=0)  # (C, Z, H, W)
+        return {"image": img, "label": np.float32(lbs), "scan_id": scan_id}
+
 
 class ValidationDataset:
     """Current-class label stripping + z-chunk assignment

@@ -112,6 +112,7 @@ def run_eval(cfg: Config, pipe: ProtoSAM | None = None,
 
     mean_dice, mean_prec, mean_rec, mean_iou = [], [], [], []
     dice_cases, iou_cases = defaultdict(list), defaultdict(list)
+    bboxes_w_scores = []
 
     t0 = time.time()
     n_slices = 0
@@ -158,6 +159,10 @@ def run_eval(cfg: Config, pipe: ProtoSAM | None = None,
             mean_iou.append(m["iou"])
             dice_cases[s["case"]].append(m["dice"])
             iou_cases[s["case"]].append(m["iou"])
+            bboxes_w_scores.append({
+                "pred_bbox": get_bounding_box(pred),
+                "gt_bbox": get_bounding_box(s["label"]),
+                "score": m["dice"]})
             n_slices += 1
 
     elapsed = time.time() - t0
@@ -172,6 +177,11 @@ def run_eval(cfg: Config, pipe: ProtoSAM | None = None,
         "n_slices": n_slices,
         "slices_per_sec": n_slices / elapsed if elapsed > 0 else 0.0,
     }
+    if bboxes_w_scores:
+        from protosam_tpu.utils.detection import eval_detection
+
+        result["detection_f1"] = eval_detection(bboxes_w_scores).to_dict(
+            orient="records")
     log.info("mar_val batches meanDice: %.4f (%d slices, %.1f slices/s)",
              result["mar_val_batches_meanDice"], n_slices,
              result["slices_per_sec"])
