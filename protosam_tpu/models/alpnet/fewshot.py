@@ -48,6 +48,9 @@ class FewShotSeg(nn.Module):
     which_model: str = "dinov2_l14"
     proto_grid_size: int = 8
     dtype: jnp.dtype = jnp.float32
+    # route ALP matching through the fused Pallas kernel (inference only —
+    # the kernel has no VJP; training keeps the jnp path)
+    use_fused_alp: bool = False
 
     @property
     def feature_hw(self) -> int:
@@ -106,13 +109,13 @@ class FewShotSeg(nn.Module):
         bg = back_mask[:, None].astype(jnp.float32)
 
         bg_score = alp_score(qry_fts, supp_fts, bg, "gridconv", val_wsize,
-                             BG_THRESH)
+                             BG_THRESH, use_fused=self.use_fused_alp)
 
         def fg_one(supp_ft, msk):
             return fg_score_with_fallback(
                 qry_fts, supp_ft[None], msk[None, None],
                 window=val_wsize, fallback_window=self.kernel_size,
-                thresh=FG_THRESH)
+                thresh=FG_THRESH, use_fused=self.use_fused_alp)
 
         fg_scores = jax.vmap(fg_one)(supp_fts, fore_mask.astype(jnp.float32))
         fg_score = jnp.max(fg_scores, axis=0)  # max over shots (:262-264)

@@ -73,14 +73,22 @@ def global_prototypes(sup_fts: jax.Array, sup_mask: jax.Array) -> jax.Array:
     return num / den
 
 
-def score_prototypes(qry_fts: jax.Array, protos: Prototypes) -> jax.Array:
+def score_prototypes(qry_fts: jax.Array, protos: Prototypes,
+                     use_fused: bool = False) -> jax.Array:
     """Softmax-weighted cosine aggregation over valid prototypes.
 
     qry_fts: (N, C, H, W).  Returns (N, 1, H, W) raw score.
     Matches reference alpmodule.py:67-77: normalize query per-pixel and
     prototypes per-row (safe_norm, eps 1e-4), dists = <q, p> * 20, then
     ``sum(softmax(dists, proto_axis) * dists)``.
+
+    use_fused routes through the Pallas kernel (ops/alp_pallas) — inference
+    only (no VJP); numerically identical.
     """
+    if use_fused:
+        from protosam_tpu.ops.alp_pallas import alp_match_fused
+
+        return alp_match_fused(qry_fts, protos.protos, protos.valid)
     qn = safe_l2_normalize(qry_fts, axis=1)               # (N, C, H, W)
     pn = safe_l2_normalize(protos.protos, axis=1)         # (P, C)
     dists = SIM_SCALE * jnp.einsum(
@@ -112,7 +120,8 @@ def score_global(qry_fts: jax.Array, glb_protos: jax.Array) -> jax.Array:
 
 
 def alp_score(qry_fts: jax.Array, sup_fts: jax.Array, sup_mask: jax.Array,
-              mode: str, window: int, thresh: float) -> jax.Array:
+              mode: str, window: int, thresh: float,
+              use_fused: bool = False) -> jax.Array:
     """Full ALP forward for one (query, support-set) pair.
 
     qry_fts: (N, C, H, W); sup_fts: (S, C, H, W); sup_mask: (S, 1, H, W).
@@ -123,20 +132,23 @@ def alp_score(qry_fts: jax.Array, sup_fts: jax.Array, sup_mask: jax.Array,
         return score_global(qry_fts, global_prototypes(sup_fts, sup_mask))
     if mode == "gridconv":
         return score_prototypes(qry_fts, grid_prototypes(sup_fts, sup_mask,
-                                                         window, thresh))
+                                                         window, thresh),
+                                use_fused)
     if mode == "gridconv+":
         grid = grid_prototypes(sup_fts, sup_mask, window, thresh)
         glb = global_prototypes(sup_fts, sup_mask)               # (S, C)
         protos = jnp.concatenate([grid.protos, glb], axis=0)
         valid = jnp.concatenate(
             [grid.valid, jnp.ones(glb.shape[0], dtype=bool)], axis=0)
-        return score_prototypes(qry_fts, Prototypes(protos, valid))
+        return score_prototypes(qry_fts, Prototypes(protos, valid),
+                                use_fused)
     raise ValueError(f"unknown ALP mode: {mode}")
 
 
 def fg_score_with_fallback(qry_fts: jax.Array, sup_fts: jax.Array,
                            sup_mask: jax.Array, *, window: int,
-                           fallback_window: int, thresh: float) -> jax.Array:
+                           fallback_window: int, thresh: float,
+                           use_fused: bool = False) -> jax.Array:
     """FG scoring with the reference's data-dependent mode fallback.
 
     The reference switches 'gridconv+' -> 'mask' when no pooled cell of the
@@ -149,7 +161,8 @@ def fg_score_with_fallback(qry_fts: jax.Array, sup_fts: jax.Array,
     use_grid = pooled_max >= thresh
     return jax.lax.cond(
         use_grid,
-        lambda q: alp_score(q, sup_fts, sup_mask, "gridconv+", window, thresh),
+        lambda q: alp_score(q, sup_fts, sup_mask, "gridconv+", window,
+                            thresh, use_fused),
         lambda q: alp_score(q, sup_fts, sup_mask, "mask", window, thresh),
         qry_fts,
     )

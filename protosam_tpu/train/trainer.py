@@ -125,12 +125,32 @@ def train(cfg: Config, max_steps: int | None = None) -> dict:
     if cfg.log_dir:
         os.makedirs(cfg.log_dir, exist_ok=True)
 
+    tb = None
+    if cfg.log_dir:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb = SummaryWriter(os.path.join(cfg.log_dir, "tboard"))
+        except ImportError:
+            tb = None
+
     history = []
+    skipped = 0
     t0 = time.time()
     try:
         for it in range(int(state.step), n_steps):
             batch = jax.tree.map(jnp.asarray, next(loader))
-            state, metrics = step_fn(state, batch)
+            new_state, metrics = step_fn(state, batch)
+            # faulty-batch tolerance (reference training.py:190-199 wraps the
+            # step in try/except and skips): a non-finite loss skips the
+            # update instead of poisoning the params
+            if not bool(jnp.isfinite(metrics["loss"])):
+                skipped += 1
+                log.warning("skipping faulty batch at step %d "
+                            "(non-finite loss, %d skipped total)",
+                            it, skipped)
+                continue
+            state, metrics = new_state, metrics
             if (it + 1) % cfg.print_interval == 0 or it == n_steps - 1:
                 m_host = {k: float(v) for k, v in metrics.items()}
                 m_host.update(step=it + 1,
@@ -140,6 +160,9 @@ def train(cfg: Config, max_steps: int | None = None) -> dict:
                 if cfg.log_dir:
                     with open(metrics_path, "a") as f:
                         f.write(json.dumps(m_host) + "\n")
+                if tb is not None:
+                    for k in ("loss", "ce", "align_loss"):
+                        tb.add_scalar(f"train/{k}", m_host[k], it + 1)
             if ckpt is not None and (it + 1) % cfg.save_snapshot_every == 0:
                 ckpt.save(it + 1, jax.device_get(state))
     finally:
