@@ -148,3 +148,44 @@ class PolypDataset:
             sup_gts.append(out["label"][None])
             case = out["case"]
         return sup_imgs, sup_gts, case
+
+
+class SuperpixPolypDataset(PolypDataset):
+    """SSL episodic variant (reference PolypDataset.py:419-505): a random
+    superpixel of the query image becomes the pseudo-label, and two
+    augmentation draws of the same image form the (support, query) pair.
+    Superpixels come from the native Felzenszwalb kernel (the reference
+    precomputes them with skimage)."""
+
+    def __init__(self, *args, num_rep: int = 2, transforms=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.num_rep = num_rep
+        self.transforms = transforms
+
+    def __getitem__(self, index: int) -> dict:
+        from protosam_tpu.data.prepare import felzenszwalb
+
+        img = _cv2_load(self.images[index], is_mask=False)
+        gray = img.mean(axis=-1).astype(np.float32)
+        seg = felzenszwalb(gray, scale=100.0, sigma=1.0, min_size=400)
+        ids = np.unique(seg)
+        ids = ids[ids > 0] if (ids > 0).any() else ids
+        pick = ids[self.rng.randrange(len(ids))]
+        pseudo = (seg == pick).astype(np.float32)
+
+        pair = []
+        for _ in range(self.num_rep):
+            im, m = (self.transforms(img, pseudo) if self.transforms
+                     else (img, pseudo))
+            out = self.process_image_gt(im, m)
+            pair.append(out)
+        support, query = pair[0], pair[1]
+        fg = support["label"]
+        return {
+            "class_ids": [[1]],
+            "support_images": [[support["image"]]],
+            "support_mask": [[{"fg_mask": fg, "bg_mask": 1.0 - fg}]],
+            "query_images": [query["image"]],
+            "query_labels": [query["label"]],
+            "superpix_label": int(pick),
+        }

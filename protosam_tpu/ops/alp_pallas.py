@@ -46,9 +46,17 @@ def _kernel(q_ref, pn_ref, valid_ref, out_ref):
                          keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def alp_match_fused(qry_fts: jax.Array, protos: jax.Array, valid: jax.Array,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool | None = None) -> jax.Array:
+    """Public entry: compiled kernel on TPU, interpreter elsewhere."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    return _alp_match_fused(qry_fts, protos, valid, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _alp_match_fused(qry_fts: jax.Array, protos: jax.Array, valid: jax.Array,
+                     interpret: bool = False) -> jax.Array:
     """Fused ALP matching.
 
     qry_fts (N, C, H, W) raw features; protos (P, C) raw prototypes;
