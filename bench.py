@@ -63,13 +63,16 @@ def main():
         jnp.float32))
     inp = ALPNetInput(supp, fg, qry0, isval=True, val_wsize=2)
 
-    # warm-up / compile
+    # warm-up / compile.  NOTE: block_until_ready is not a reliable
+    # completion barrier over the axon tunnel — a scalar host read is; the
+    # checksum depends on every output element.
     preds, _ = pipe.forward_volume(warm, inp, slice_batch=slice_batch)
-    jax.block_until_ready(preds)
+    float(preds.astype(jnp.float32).sum())
 
     t0 = time.time()
     preds, scores = pipe.forward_volume(vol, inp, slice_batch=slice_batch)
-    jax.block_until_ready((preds, scores))
+    checksum = float(preds.astype(jnp.float32).sum()) + \
+        float(scores.astype(jnp.float32).sum())
     elapsed = time.time() - t0
 
     value = n_slices / elapsed

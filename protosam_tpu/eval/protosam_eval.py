@@ -29,6 +29,7 @@ from protosam_tpu.models.io_protocol import ALPNetInput
 from protosam_tpu.models.sam import build_sam
 from protosam_tpu.pipeline import ProtoSAM, ProtoSAMConfig
 from protosam_tpu.utils.config import Config
+from protosam_tpu.utils.detection import get_bounding_box
 from protosam_tpu.utils.metrics import dice_iou_precision_recall
 
 log = logging.getLogger("protosam_eval")
