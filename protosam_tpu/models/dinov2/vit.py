@@ -60,7 +60,7 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array):
         c = x.shape[-1]
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = Attention(self.num_heads, self.dtype, name="attn")(y)
@@ -70,7 +70,7 @@ class Block(nn.Module):
                      name="mlp_fc1")(y)
         y = _gelu(y)
         y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
-        return x + LayerScale(self.dtype, name="ls2")(y)
+        return x + LayerScale(self.dtype, name="ls2")(y), None
 
 
 class DinoVisionTransformer(nn.Module):
@@ -120,9 +120,16 @@ class DinoVisionTransformer(nn.Module):
                                    self.embed_dim)),
                  x[:, 1:]], axis=1)
 
-        for i in range(self.depth):
-            x = Block(self.num_heads, self.mlp_ratio, self.dtype,
-                      name=f"blocks_{i}")(x)
+        # one traced block scanned over stacked per-layer params (compile
+        # time: 1 block instead of depth blocks)
+        ScannedBlocks = nn.scan(
+            Block,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.depth,
+        )
+        x, _ = ScannedBlocks(self.num_heads, self.mlp_ratio, self.dtype,
+                             name="blocks")(x)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         r = self.num_register_tokens

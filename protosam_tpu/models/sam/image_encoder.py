@@ -4,9 +4,16 @@ Re-implements the behavior of reference
 models/segment_anything/modeling/image_encoder.py (ImageEncoderViT:17-122,
 Block:125-193, Attention:196-251, window partition:254-300, decomposed
 relative positions:303-372, PatchEmbed:375-406) as a TPU-first design:
-everything jits once at the fixed 1024² input; windowed attention runs
-batched over windows; the decomposed rel-pos bias is precomputed per block
-as two einsums feeding a single fused softmax.
+
+* the transformer stack runs as ONE ``nn.scan`` over stacked per-layer
+  params (windowed vs global attention selected per layer by ``lax.cond``),
+  so XLA traces a single block instead of depth× copies — compile time on
+  the remote TPU toolchain drops from tens of minutes to minutes for
+  ViT-H;
+* rel-pos tables are stored padded to the global size (the converter pads
+  the windowed layers' 27-row tables), sliced per layer;
+* global attention is computed in sequential query-row chunks so the
+  (B, heads, 4096, 4096) matrices never materialize.
 """
 
 from __future__ import annotations
@@ -65,20 +72,46 @@ def _rel_pos_table(rel_pos: jax.Array, q_size: int, k_size: int) -> jax.Array:
     return rel[jnp.asarray(relative.astype(np.int64))]
 
 
+def _attend(q_rows, k, v, Rh_rows, Rw, num_heads, scale, grid_hw,
+            use_rel_pos, dtype):
+    """Attention for a block of query rows against the full key set.
+
+    q_rows (B, ch, W, heads, hd); k/v (B, H*W, heads, hd);
+    Rh_rows (ch, H, hd); Rw (W, W, hd).  Returns (B, ch*W, heads, hd).
+    """
+    b = q_rows.shape[0]
+    ch, w = q_rows.shape[1], q_rows.shape[2]
+    h = grid_hw[0]
+    hd = q_rows.shape[-1]
+    qf = q_rows.reshape(b, ch * w, num_heads, hd)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", qf * scale, k,
+                      preferred_element_type=jnp.float32)
+    if use_rel_pos:
+        bias_h = jnp.einsum("bhwnc,hkc->bnhwk", q_rows, Rh_rows,
+                            preferred_element_type=jnp.float32)
+        bias_w = jnp.einsum("bhwnc,wkc->bnhwk", q_rows, Rw,
+                            preferred_element_type=jnp.float32)
+        attn = (attn.reshape(b, num_heads, ch, w, h, w)
+                + bias_h[..., None] + bias_w[..., None, :]
+                ).reshape(b, num_heads, ch * w, h * w)
+    attn = jax.nn.softmax(attn, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                      preferred_element_type=jnp.float32).astype(dtype)
+
+
 class Attention(nn.Module):
     """Multi-head attention with decomposed relative position bias.
 
-    Input [B, H, W, C] (a window or the full grid); shapes are static so the
-    rel-pos gather tables are traced once.  Large (global) grids are
-    processed in sequential query-row chunks: materializing the full
-    (B, heads, 4096, 4096) f32 attention matrix of a 64×64 global block
-    costs ~6 GB at batch 8 — chunking bounds peak memory at
-    (B, heads, chunk·W, H·W) with identical numerics.
+    ``table_rows`` fixes the stored rel-pos param size (padded to the
+    largest grid when stacked under scan); the used slice is 2*size-1.
+    Large (global) grids are processed in sequential query-row chunks so
+    the full attention matrix stays bounded.
     """
 
     num_heads: int
     use_rel_pos: bool = True
     dtype: jnp.dtype = jnp.float32
+    table_rows: int | None = None
     q_chunk_rows: int = 8   # row-chunk size for grids with >= 2048 tokens
 
     @nn.compact
@@ -92,33 +125,15 @@ class Attention(nn.Module):
         q, k, v = jnp.moveaxis(qkv, 2, 0)          # each B,HW,heads,hd
 
         if self.use_rel_pos:
+            rows = self.table_rows or (2 * max(h, w) - 1)
             rel_h = self.param("rel_pos_h", nn.initializers.zeros,
-                               (2 * h - 1, head_dim))
+                               (rows, head_dim))
             rel_w = self.param("rel_pos_w", nn.initializers.zeros,
-                               (2 * w - 1, head_dim))
-            Rh = _rel_pos_table(rel_h.astype(self.dtype), h, h)   # (h, h, hd)
-            Rw = _rel_pos_table(rel_w.astype(self.dtype), w, w)   # (w, w, hd)
+                               (rows, head_dim))
+            Rh = _rel_pos_table(rel_h[:2 * h - 1].astype(self.dtype), h, h)
+            Rw = _rel_pos_table(rel_w[:2 * w - 1].astype(self.dtype), w, w)
         else:
             Rh = Rw = None
-
-        def attend(q_rows, Rh_rows):
-            """q_rows: (B, ch, W, heads, hd); Rh_rows: (ch, h, hd)."""
-            ch = q_rows.shape[1]
-            qf = q_rows.reshape(b, ch * w, self.num_heads, head_dim)
-            attn = jnp.einsum("bqhd,bkhd->bhqk", qf * scale, k,
-                              preferred_element_type=jnp.float32)
-            if self.use_rel_pos:
-                bias_h = jnp.einsum("bhwnc,hkc->bnhwk", q_rows, Rh_rows,
-                                    preferred_element_type=jnp.float32)
-                bias_w = jnp.einsum("bhwnc,wkc->bnhwk", q_rows, Rw,
-                                    preferred_element_type=jnp.float32)
-                attn = (attn.reshape(b, self.num_heads, ch, w, h, w)
-                        + bias_h[..., None] + bias_w[..., None, :]
-                        ).reshape(b, self.num_heads, ch * w, h * w)
-            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-            return jnp.einsum("bhqk,bkhd->bqhd", attn, v,
-                              preferred_element_type=jnp.float32
-                              ).astype(self.dtype)   # (B, ch*W, heads, hd)
 
         rq = q.reshape(b, h, w, self.num_heads, head_dim)
         if h * w >= 2048 and h % self.q_chunk_rows == 0:
@@ -127,39 +142,55 @@ class Attention(nn.Module):
                               head_dim).transpose(1, 0, 2, 3, 4, 5)
             Rh_c = (Rh.reshape(nch, self.q_chunk_rows, h, head_dim)
                     if self.use_rel_pos else jnp.zeros((nch, 1)))
-            out = jax.lax.map(lambda args: attend(*args), (rq_c, Rh_c))
+            out = jax.lax.map(
+                lambda args: _attend(args[0], k, v, args[1], Rw,
+                                     self.num_heads, scale, (h, w),
+                                     self.use_rel_pos, self.dtype),
+                (rq_c, Rh_c))
             out = out.transpose(1, 0, 2, 3, 4).reshape(b, h * w, c)
         else:
-            out = attend(rq, Rh).reshape(b, h * w, c)
+            out = _attend(rq, k, v, Rh, Rw, self.num_heads, scale, (h, w),
+                          self.use_rel_pos, self.dtype).reshape(b, h * w, c)
         out = out.reshape(b, h, w, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
 class Block(nn.Module):
-    """Transformer block with optional window attention (reference Block:125-193)."""
+    """Transformer block; window vs global attention chosen at runtime by
+    the scanned ``is_global`` flag (reference Block:125-193 chooses
+    statically per layer — identical math, one traced copy)."""
 
     num_heads: int
     mlp_ratio: float = 4.0
     use_rel_pos: bool = True
-    window_size: int = 0
+    window_size: int = 14
+    grid_size: int = 64
+    embed_dim: int = 768
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        c = x.shape[-1]
-        shortcut = x
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        if self.window_size > 0:
-            h, w = x.shape[1], x.shape[2]
-            x, pad_hw = window_partition(x, self.window_size)
-        x = Attention(self.num_heads, self.use_rel_pos, self.dtype,
-                      name="attn")(x)
-        if self.window_size > 0:
-            x = window_unpartition(x, self.window_size, pad_hw, (h, w))
-        x = shortcut + x
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        return x + MLPBlock(int(c * self.mlp_ratio), _gelu, self.dtype,
-                            name="mlp")(y)
+    def setup(self):
+        self.norm1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
+        self.attn = Attention(self.num_heads, self.use_rel_pos, self.dtype,
+                              table_rows=2 * self.grid_size - 1)
+        self.norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
+        self.mlp = MLPBlock(int(self.embed_dim * self.mlp_ratio), _gelu,
+                            self.dtype)
+
+    def __call__(self, x: jax.Array, is_global: jax.Array):
+        xn = self.norm1(x)
+
+        def global_branch(mdl, xx):
+            return mdl.attn(xx)
+
+        def window_branch(mdl, xx):
+            h, w = xx.shape[1], xx.shape[2]
+            ww, pad_hw = window_partition(xx, mdl.window_size)
+            ww = mdl.attn(ww)
+            return window_unpartition(ww, mdl.window_size, pad_hw, (h, w))
+
+        x = x + nn.cond(is_global, global_branch, window_branch, self, xn)
+        x = x + self.mlp(self.norm2(x))
+        return x, None
 
 
 class ImageEncoderViT(nn.Module):
@@ -192,15 +223,26 @@ class ImageEncoderViT(nn.Module):
                          (1, n, n, self.embed_dim))
         x = x + pos.astype(self.dtype)
 
-        for i in range(self.depth):
-            x = Block(
-                num_heads=self.num_heads,
-                mlp_ratio=self.mlp_ratio,
-                use_rel_pos=self.use_rel_pos,
-                window_size=0 if i in self.global_attn_indexes else self.window_size,
-                dtype=self.dtype,
-                name=f"blocks_{i}",
-            )(x)
+        is_global = jnp.asarray(
+            [i in self.global_attn_indexes for i in range(self.depth)])
+
+        ScannedBlocks = nn.scan(
+            Block,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=0,
+            length=self.depth,
+        )
+        x, _ = ScannedBlocks(
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            use_rel_pos=self.use_rel_pos,
+            window_size=self.window_size,
+            grid_size=n,
+            embed_dim=self.embed_dim,
+            dtype=self.dtype,
+            name="blocks",
+        )(x, is_global)
 
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,
                     name="neck_conv1")(x)

@@ -31,8 +31,9 @@ def _iter_kernels(params: Any, targets):
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     for path, leaf in flat:
         names = [p.key for p in path if hasattr(p, "key")]
+        # 2-D: plain Dense kernel; 3-D: nn.scan-stacked (layers, in, out)
         if len(names) >= 2 and names[-1] == "kernel" and \
-                names[-2] in targets and leaf.ndim == 2:
+                names[-2] in targets and leaf.ndim in (2, 3):
             yield tuple(names), leaf
 
 
@@ -47,10 +48,15 @@ def init_lora(params: Any, rank: int = 4, key=None,
     tree: dict = {"scale": scale, "rank": rank, "factors": {}}
     for names, leaf in _iter_kernels(params, targets):
         key, sub = jax.random.split(key)
-        d_in, d_out = leaf.shape
+        if leaf.ndim == 2:
+            d_in, d_out = leaf.shape
+            a_shape, b_shape = (d_in, rank), (rank, d_out)
+        else:  # stacked (layers, in, out): per-layer factors
+            n_layers, d_in, d_out = leaf.shape
+            a_shape, b_shape = (n_layers, d_in, rank), (n_layers, rank, d_out)
         tree["factors"]["/".join(names[:-1])] = {
-            "a": jax.random.normal(sub, (d_in, rank), jnp.float32) / rank,
-            "b": jnp.zeros((rank, d_out), jnp.float32),
+            "a": jax.random.normal(sub, a_shape, jnp.float32) / rank,
+            "b": jnp.zeros(b_shape, jnp.float32),
         }
     return tree
 
@@ -67,6 +73,7 @@ def merge_lora(params: Any, lora: dict) -> Any:
                 out[k] = walk(v, prefix + [k])
             elif k == "kernel" and "/".join(prefix) in factors:
                 f = factors["/".join(prefix)]
+                # @ batches over the leading layer axis for stacked kernels
                 delta = (f["a"] @ f["b"]).astype(v.dtype)
                 out[k] = v + scale * delta
             else:

@@ -87,8 +87,9 @@ def convert_sam(state_dict: Mapping[str, Any]) -> dict:
             elif parts[1] == "pos_embed":
                 _set(params, p + ["pos_embed"], w)
             elif parts[1] == "blocks":
+                # collected per layer, stacked at the end (scan layout)
                 i, sub = parts[2], parts[3]
-                bp = p + [f"blocks_{i}"]
+                bp = p + ["__layers__", i]
                 if sub in ("norm1", "norm2"):
                     _ln(params, bp + [sub], parts[-1], w)
                 elif sub == "attn":
@@ -157,7 +158,43 @@ def convert_sam(state_dict: Mapping[str, Any]) -> dict:
                         p + ["iou_prediction_head", f"layers_{parts[3]}"],
                         parts[-1], w)
         # pixel_mean / pixel_std buffers are constants, handled in preprocess
+
+    if "image_encoder" in params and "__layers__" in params["image_encoder"]:
+        params["image_encoder"]["blocks"] = _stack_layers(
+            params["image_encoder"].pop("__layers__"),
+            pad_rel_pos_to_max=True)
     return params
+
+
+def _stack_layers(layers: dict, pad_rel_pos_to_max: bool = False) -> dict:
+    """{'0': tree, '1': tree, ...} -> one tree with a stacked leading axis
+    (flax nn.scan layout).  Rel-pos tables of differing row counts (windowed
+    27 vs global 127) are zero-padded to the max."""
+    order = sorted(layers, key=int)
+    trees = [layers[i] for i in order]
+
+    if pad_rel_pos_to_max:
+        max_rows = 0
+        for t in trees:
+            attn = t.get("attn", {})
+            for k in ("rel_pos_h", "rel_pos_w"):
+                if k in attn:
+                    max_rows = max(max_rows, attn[k].shape[0])
+        for t in trees:
+            attn = t.get("attn", {})
+            for k in ("rel_pos_h", "rel_pos_w"):
+                if k in attn and attn[k].shape[0] < max_rows:
+                    pad = max_rows - attn[k].shape[0]
+                    attn[k] = np.concatenate(
+                        [attn[k], np.zeros((pad, attn[k].shape[1]),
+                                           attn[k].dtype)], axis=0)
+
+    def stack(*leaves):
+        return np.stack(leaves, axis=0)
+
+    import jax
+
+    return jax.tree.map(stack, *trees)
 
 
 def convert_dinov2(state_dict: Mapping[str, Any]) -> dict:
@@ -180,7 +217,7 @@ def convert_dinov2(state_dict: Mapping[str, Any]) -> dict:
             _conv(params, ["patch_embed"], parts[-1], w)
         elif parts[0] == "blocks":
             i, sub = parts[1], parts[2]
-            bp = [f"blocks_{i}"]
+            bp = ["__layers__", i]
             if sub in ("norm1", "norm2"):
                 _ln(params, bp + [sub], parts[-1], w)
             elif sub == "attn":
@@ -191,6 +228,8 @@ def convert_dinov2(state_dict: Mapping[str, Any]) -> dict:
                 _linear(params, bp + [f"mlp_{parts[3]}"], parts[-1], w)
         elif parts[0] == "norm":
             _ln(params, ["norm"], parts[-1], w)
+    if "__layers__" in params:
+        params["blocks"] = _stack_layers(params.pop("__layers__"))
     return params
 
 

@@ -26,8 +26,9 @@ def test_chunked_equals_full():
     qkv = qkv.reshape(b, h * w, 3, heads, hd)
     q, k, v = jnp.moveaxis(qkv, 2, 0)
     attn = jnp.einsum("bqhd,bkhd->bhqk", q * hd ** -0.5, k)
-    Rh = _rel_pos_table(params["rel_pos_h"], h, h)
-    Rw = _rel_pos_table(params["rel_pos_w"], w, w)
+    # the module stores tables padded to table_rows and slices 2*size-1
+    Rh = _rel_pos_table(params["rel_pos_h"][:2 * h - 1], h, h)
+    Rw = _rel_pos_table(params["rel_pos_w"][:2 * w - 1], w, w)
     rq = q.reshape(b, h, w, heads, hd)
     bh = jnp.einsum("bhwnc,hkc->bnhwk", rq, Rh)
     bw = jnp.einsum("bhwnc,wkc->bnhwk", rq, Rw)

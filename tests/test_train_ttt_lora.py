@@ -92,7 +92,9 @@ def test_lora_roundtrip(tmp_path, rng):
     params = model.init(jax.random.PRNGKey(0), img, fg, 1 - fg, img)["params"]
 
     lora = init_lora(params, rank=2, key=jax.random.PRNGKey(1))
-    assert len(lora["factors"]) == 4 * 2  # 2 blocks x (qkv, proj, fc1, fc2)
+    # scan-stacked blocks: one (layers, ...) factor per target kind
+    assert len(lora["factors"]) == 4  # qkv, proj, fc1, fc2
+    assert lora["factors"]["encoder/blocks/attn/qkv"]["a"].ndim == 3
     # b = 0 init -> merge is identity
     merged = merge_lora(params, lora)
     d = jax.tree.reduce(lambda a, b: max(a, b), jax.tree.map(
@@ -102,8 +104,8 @@ def test_lora_roundtrip(tmp_path, rng):
     # non-zero factors change only the targeted kernels
     lora["factors"] = jax.tree.map(lambda x: x + 0.01, lora["factors"])
     merged = merge_lora(params, lora)
-    qkv = params["encoder"]["blocks_0"]["attn"]["qkv"]["kernel"]
-    qkv2 = merged["encoder"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    qkv = params["encoder"]["blocks"]["attn"]["qkv"]["kernel"]
+    qkv2 = merged["encoder"]["blocks"]["attn"]["qkv"]["kernel"]
     assert float(jnp.abs(qkv2 - qkv).max()) > 0
     patch = params["encoder"]["patch_embed"]["kernel"]
     patch2 = merged["encoder"]["patch_embed"]["kernel"]
@@ -117,6 +119,6 @@ def test_lora_roundtrip(tmp_path, rng):
         back["factors"]))
     assert d == 0.0
     collapsed = collapse_lora(params, lora)
-    d2 = float(jnp.abs(collapsed["encoder"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    d2 = float(jnp.abs(collapsed["encoder"]["blocks"]["attn"]["qkv"]["kernel"]
                        - qkv2).max())
     assert d2 == 0.0
