@@ -35,7 +35,8 @@ from protosam_tpu.utils.metrics import dice_iou_precision_recall
 log = logging.getLogger("protosam_eval")
 
 SAM_VERSIONS = {"sam_h": "vit_h", "sam_b": "vit_b", "sam_l": "vit_l",
-                "vit_h": "vit_h", "vit_b": "vit_b", "vit_t": "vit_t"}
+                "vit_h": "vit_h", "vit_b": "vit_b", "vit_t": "vit_t",
+                "medsam": "vit_b"}
 
 
 def build_models(cfg: Config, coarse_params=None, sam_params=None):
@@ -63,6 +64,17 @@ def build_models(cfg: Config, coarse_params=None, sam_params=None):
             rng, jnp.zeros((1, sam.image_size, sam.image_size, 3)),
             jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32),
             jnp.zeros((1, 4)))["params"]
+
+    if cfg.protosam_sam_ver == "medsam":
+        # bbox-only prompts into MedSAM (reference validation_protosam.py
+        # :216-238 builds ProtoMedSAM for this setting)
+        from protosam_tpu.pipeline import ProtoMedSAM
+
+        pconf = ProtoSAMConfig(
+            image_size=(sam.image_size, sam.image_size),
+            use_points=False, use_bbox=True, use_cca=cfg.do_cca,
+            coarse_pred_only=cfg.coarse_pred_only, max_ccs=cfg.max_ccs)
+        return ProtoMedSAM(coarse, coarse_params, sam, sam_params, pconf)
 
     pconf = ProtoSAMConfig(
         image_size=(sam.image_size, sam.image_size),
@@ -188,6 +200,9 @@ def run_eval(cfg: Config, pipe: ProtoSAM | None = None,
              result["slices_per_sec"])
     if cfg.log_dir:
         os.makedirs(cfg.log_dir, exist_ok=True)
+        # config snapshot per run (the reference's sacred FileStorageObserver
+        # records config + sources, config_ssl_upload.py:171-177)
+        cfg.save(os.path.join(cfg.log_dir, "config.json"))
         with open(os.path.join(cfg.log_dir, "protosam_eval_result.json"),
                   "w") as f:
             json.dump(result, f, indent=2)

@@ -86,9 +86,14 @@ class Sam(nn.Module):
         return self.mask_decoder(image_embedding, image_pe, sparse, dense,
                                  multimask_output)
 
-    def __call__(self, x, coords, labels, boxes=None):
+    def __call__(self, x, coords, labels, boxes=None, mask_inputs=None):
         emb = self.encode_image(x)
-        return self.decode(emb, coords, labels, boxes)
+        if mask_inputs is None and self.is_initializing():
+            # route a dummy mask through the downscaling convs so ALL params
+            # exist after init (mask prompts are an optional runtime branch)
+            h = 4 * (self.image_size // self.vit_patch_size)
+            mask_inputs = jnp.zeros((coords.shape[0], h, h, 1))
+        return self.decode(emb, coords, labels, boxes, mask_inputs)
 
 
 def preprocess(x: jax.Array, img_size: int = 1024,

@@ -67,10 +67,10 @@ class ProtoMedSAM(ProtoSAM):
 
         return {"sam_image": q, "coords": jnp.zeros((k, 0, 2)),
                 "labels": jnp.zeros((k, 0), jnp.int32), "boxes": boxes,
-                "valid": valid, "pred": pred}
+                "valid": valid, "pred": pred, "mask_inputs": None}
 
     def _decode_stage(self, sam_params, emb, coords, labels, boxes, valid,
-                      pred, original_size):
+                      pred, original_size, mask_inputs=None):
         """Batched MedSAM decode: boxes only, single mask, sigmoid > 0.5
         (reference medsam_inference :31-65)."""
         cfg = self.config

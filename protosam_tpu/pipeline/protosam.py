@@ -165,10 +165,12 @@ class ProtoSAM:
         ex = self._extract_prompts(qry, logits)
         emb = self.sam_model.apply({"params": sam_params}, ex["sam_image"][None],
                                    method=self.sam_model.encode_image)
+        mi = ex.get("mask_inputs")
         out, scores = self._decode_stage(
             sam_params, emb, ex["coords"][None], ex["labels"][None],
             None if ex["boxes"] is None else ex["boxes"][None],
-            ex["valid"][None], ex["pred"][None], original_size)
+            ex["valid"][None], ex["pred"][None], original_size,
+            mask_inputs=None if mi is None else mi[None])
         return out[0], scores[0], logits
 
     def _extract_prompts(self, qry, logits):
@@ -209,6 +211,21 @@ class ProtoSAM:
         else:
             valid = stats.valid
 
+        mask_inputs = None
+        if cfg.use_mask:
+            # per-component low-res mask prompts (4× the embedding grid,
+            # 256² at the production frame), fg->10 / bg->-8 (reference
+            # predict_w_masks, ProtoSAM.py:468-479; its uint8 cast wraps -8
+            # to 248 — a bug we do not copy, see PARITY.md)
+            k = valid.shape[0]
+            side = 4 * (self.sam_model.image_size
+                        // self.sam_model.vit_patch_size)
+            onehot = (stats.labels[None] ==
+                      jnp.arange(1, k + 1, dtype=jnp.int32)[:, None, None])
+            low = resize_nearest(onehot.astype(jnp.float32)[:, None],
+                                 (side, side))[:, 0]
+            mask_inputs = jnp.where(low > 0.5, 10.0, -8.0)[..., None]
+
         # --- SAM input image: the reference's uint8 min-max renorm quirk ---
         # (ProtoSAM.py:651-660): sam_trans with mean 0/std 1 (identity), then
         # min-max scale to [0,255] and uint8 truncation, then the predictor's
@@ -220,10 +237,11 @@ class ProtoSAM:
                            DEFAULT_PIXEL_MEAN, DEFAULT_PIXEL_STD)[0]
 
         return {"sam_image": q, "coords": coords, "labels": labels,
-                "boxes": boxes, "valid": valid, "pred": pred}
+                "boxes": boxes, "valid": valid, "pred": pred,
+                "mask_inputs": mask_inputs}
 
     def _decode_stage(self, sam_params, emb, coords, labels, boxes, valid,
-                      pred, original_size):
+                      pred, original_size, mask_inputs=None):
         """Batched SAM decode over (B slices × K components).
 
         emb (B, 64, 64, 256); coords (B, K, P, 2); labels (B, K, P);
@@ -235,14 +253,29 @@ class ProtoSAM:
         emb_rep = jnp.repeat(emb, k, axis=0)                   # (B*K, ...)
         flat = lambda x: x.reshape((b * k,) + x.shape[2:])
 
-        # multimask unless cca mode (reference predict_w_points_bbox:522);
-        # best_pred_idx = 0 either way (:525)
-        low_res, iou = self.sam_model.apply(
-            {"params": sam_params}, emb_rep, flat(coords), flat(labels),
-            None if boxes is None else flat(boxes), None,
-            not cfg.use_cca, boxes is None, method=self.sam_model.decode)
-        masks_low = low_res[:, 0].reshape(b, k, *low_res.shape[-2:])
-        scores = iou[:, 0].reshape(b, k)
+        if cfg.use_mask and mask_inputs is not None:
+            # mask-prompt mode (reference predict_w_masks :468-498): no
+            # point/box tokens, multimask output, best score per component
+            low_res, iou = self.sam_model.apply(
+                {"params": sam_params}, emb_rep,
+                jnp.zeros((b * k, 0, 2)), jnp.zeros((b * k, 0), jnp.int32),
+                None, flat(mask_inputs), True, False,
+                method=self.sam_model.decode)
+            best = jnp.argmax(iou, axis=1)
+            low_best = jnp.take_along_axis(
+                low_res, best[:, None, None, None], axis=1)[:, 0]
+            masks_low = low_best.reshape(b, k, *low_res.shape[-2:])
+            scores = jnp.take_along_axis(iou, best[:, None],
+                                         axis=1)[:, 0].reshape(b, k)
+        else:
+            # multimask unless cca mode (reference predict_w_points_bbox:522);
+            # best_pred_idx = 0 either way (:525)
+            low_res, iou = self.sam_model.apply(
+                {"params": sam_params}, emb_rep, flat(coords), flat(labels),
+                None if boxes is None else flat(boxes), None,
+                not cfg.use_cca, boxes is None, method=self.sam_model.decode)
+            masks_low = low_res[:, 0].reshape(b, k, *low_res.shape[-2:])
+            scores = iou[:, 0].reshape(b, k)
 
         # postprocess (upstream pip SAM: bilinear to 1024², crop is identity
         # at square 1024 inputs) then threshold at 0 and OR over components
@@ -286,7 +319,8 @@ class ProtoSAM:
                                         method=self.sam_model.encode_image)
             preds, scores = self._decode_stage(
                 sam_params, embs, ex["coords"], ex["labels"], ex["boxes"],
-                ex["valid"], ex["pred"], qrys.shape[-2:])
+                ex["valid"], ex["pred"], qrys.shape[-2:],
+                mask_inputs=ex.get("mask_inputs"))
             return preds, scores, logits
 
         return jax.jit(volume, static_argnames=("val_wsize",))

@@ -124,6 +124,7 @@ def train(cfg: Config, max_steps: int | None = None) -> dict:
     metrics_path = os.path.join(cfg.log_dir or ".", "train_metrics.jsonl")
     if cfg.log_dir:
         os.makedirs(cfg.log_dir, exist_ok=True)
+        cfg.save(os.path.join(cfg.log_dir, "config.json"))
 
     tb = None
     if cfg.log_dir:

@@ -78,3 +78,16 @@ def test_pipeline_empty_coarse_pred(tiny_pipeline):
     inp = ALPNetInput([[supp]], [[zeros_fg]], qry)
     pred, scores = pipe.forward(qry, inp)
     assert pred.shape == (126, 126)
+
+
+def test_pipeline_mask_prompts(tiny_pipeline):
+    """use_mask mode: 256² mask prompts, multimask, best-score selection."""
+    coarse, cp, sam, sp, supp, fg, qry = tiny_pipeline
+    cfg = ProtoSAMConfig(image_size=(256, 256), use_points=False,
+                         use_bbox=False, use_mask=True, use_cca=True,
+                         max_ccs=4)
+    pipe = ProtoSAM(coarse, cp, sam, sp, cfg)
+    inp = ALPNetInput([[supp]], [[fg]], qry)
+    pred, scores = pipe.forward(qry, inp)
+    assert pred.shape == (126, 126)
+    assert np.isfinite(np.asarray(scores)).all()
