@@ -1,0 +1,41 @@
+"""Pallas CCA label propagation vs the XLA path (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from protosam_tpu.ops.cca import label_components
+from protosam_tpu.ops.cca_pallas import label_components_pallas
+
+from tests.test_cca_prompts import random_blobs
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_matches_xla_path(seed):
+    rng = np.random.default_rng(seed)
+    mask = random_blobs(rng, 64, 64, n=3, r=7)
+    want = np.asarray(label_components(jnp.asarray(mask)))
+    got = np.asarray(label_components_pallas(jnp.asarray(mask),
+                                             interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_snake_converges():
+    mask = np.zeros((32, 32), np.uint8)
+    for r in range(0, 32, 4):
+        mask[r, :] = 1
+        if (r // 4) % 2 == 0:
+            mask[r:r + 5, 31] = 1
+        else:
+            mask[r:r + 5, 0] = 1
+    want = np.asarray(label_components(jnp.asarray(mask)))
+    got = np.asarray(label_components_pallas(jnp.asarray(mask),
+                                             interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_empty_mask():
+    got = np.asarray(label_components_pallas(jnp.zeros((16, 16)),
+                                             interpret=True))
+    assert (got == 2**30).all()
