@@ -9,7 +9,7 @@ with reshufflable index tables.  Plain-python, numpy samples.
 from __future__ import annotations
 
 import random
-from typing import Callable, Sequence
+from typing import Sequence
 
 import numpy as np
 

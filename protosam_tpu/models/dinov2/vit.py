@@ -14,12 +14,10 @@ utils/torch_convert.convert_dinov2.
 
 from __future__ import annotations
 
-import math
 from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from protosam_tpu.ops.attention import multi_head_attention

@@ -10,7 +10,7 @@ selectable via ``postprocess_mode``).
 
 from __future__ import annotations
 
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp

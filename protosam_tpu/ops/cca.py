@@ -30,7 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-_BIG = jnp.int32(2**30)
+# python int, not jnp.int32: a module-level jnp constant would allocate on
+# the default device at import time
+_BIG = 2**30
 
 
 class ComponentStats(NamedTuple):

@@ -7,7 +7,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from protosam_tpu.ops.pooling import max_pool2d
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_size", "iterations"))

@@ -13,7 +13,6 @@ no NCCL); the TPU design scales two ways:
 
 from __future__ import annotations
 
-import re
 from typing import Any
 
 import jax

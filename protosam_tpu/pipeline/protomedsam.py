@@ -14,12 +14,10 @@ validity-masked any() so the K>1 path yields a well-formed mask.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
 
-from protosam_tpu.models.io_protocol import ALPNetInput
 from protosam_tpu.ops.cca import component_confidences, connected_components
 from protosam_tpu.ops.resize import resize_bilinear, resize_nearest
 from protosam_tpu.pipeline.protosam import (

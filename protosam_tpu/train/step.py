@@ -13,7 +13,6 @@ sharding of the encoder over 'model' (see parallel/sharding.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax

@@ -21,7 +21,6 @@ Layout rules (torch -> flax):
 
 from __future__ import annotations
 
-import re
 from typing import Any, Mapping
 
 import numpy as np
