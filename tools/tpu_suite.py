@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""On-TPU validation + timing suite (run after any big change).
+
+Ordered stages, each printed with compile time and honest steady-state
+timing (scalar host reads; inputs varied per call to defeat the terminal's
+execution cache).  Usage:  python tools/tpu_suite.py [stage ...]
+Stages: calib sam dino cca cca_pallas alp full
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def bench(name, f, args_fn, n=4):
+    t0 = time.time()
+    float(f(*args_fn(99)))
+    print(f"{name} compile+first: {time.time() - t0:.0f}s", flush=True)
+    t0 = time.time()
+    for i in range(n):
+        v = float(f(*args_fn(i)))
+    print(f"{name}: {(time.time() - t0) / n * 1000:.1f} ms (last={v:.4g})",
+          flush=True)
+
+
+def stage_calib():
+    A = jax.random.normal(jax.random.PRNGKey(0), (8192, 8192), jnp.bfloat16)
+
+    def mm(x, k):
+        for _ in range(10):
+            x = (x @ x) * 1e-4 + k
+        return jnp.sum(x.astype(jnp.float32))
+
+    bench("matmul 11TF", jax.jit(mm), lambda i: (A, jnp.bfloat16(i * 1e-6)))
+
+
+def stage_sam():
+    from protosam_tpu.models.sam import build_sam
+
+    sam = build_sam("vit_b", dtype=jnp.bfloat16)
+    sp = sam.init(jax.random.PRNGKey(0), jnp.zeros((1, 1024, 1024, 3)),
+                  jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32),
+                  jnp.zeros((1, 4)))["params"]
+    f = jax.jit(lambda p, x: jnp.sum(sam.apply(
+        {"params": p}, x, method=sam.encode_image).astype(jnp.float32)))
+    bench("sam-b encode batch8", f,
+          lambda i: (sp, jax.random.normal(jax.random.PRNGKey(i),
+                                           (8, 1024, 1024, 3))))
+
+
+def stage_dino():
+    from protosam_tpu.models.dinov2.vit import build_dinov2
+
+    dino = build_dinov2("dinov2_vitl14", dtype=jnp.bfloat16)
+    dp = dino.init(jax.random.PRNGKey(1), jnp.zeros((1, 672, 672, 3)))["params"]
+    f = jax.jit(lambda p, x: jnp.sum(dino.apply(
+        {"params": p}, x)["x_norm_patchtokens"].astype(jnp.float32)))
+    bench("dinov2-L flash batch8", f,
+          lambda i: (dp, jax.random.normal(jax.random.PRNGKey(i),
+                                           (8, 672, 672, 3))))
+
+
+def _blob_masks(i, b=8, hw=1024):
+    yy, xx = np.mgrid[:hw, :hw]
+    m = np.zeros((b, hw, hw), np.float32)
+    for k in range(b):
+        for cy, cx, r in [(300 + 10 * i + 5 * k, 300, 90),
+                          (700, 600 - 7 * i, 60)]:
+            m[k][(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 1
+    return jax.device_put(jnp.asarray(m))
+
+
+def stage_cca():
+    from protosam_tpu.ops.cca import connected_components
+
+    f = jax.jit(lambda m: jnp.sum(jax.vmap(
+        lambda s: connected_components(s, 8).labels)(m).astype(jnp.float32)))
+    bench("XLA CCA batch8", f, lambda i: (_blob_masks(i),))
+
+
+def stage_cca_pallas():
+    from protosam_tpu.ops.cca import label_components
+    from protosam_tpu.ops.cca_pallas import label_components_pallas
+
+    m = _blob_masks(0)[0]
+    a = np.asarray(label_components(m))
+    b = np.asarray(label_components_pallas(m, interpret=False))
+    print("pallas CCA correct:", bool((a == b).all()), flush=True)
+    f = jax.jit(lambda mm: jnp.sum(jax.vmap(
+        lambda s: label_components_pallas(s, interpret=False))(mm)
+        .astype(jnp.float32)))
+    bench("pallas CCA batch8", f, lambda i: (_blob_masks(i),))
+
+
+def stage_alp():
+    from protosam_tpu.ops.alp import grid_prototypes, score_prototypes
+    from protosam_tpu.ops.alp_pallas import alp_match_fused
+
+    sup = jax.random.normal(jax.random.PRNGKey(0), (1, 1024, 48, 48))
+    mask = jnp.zeros((1, 1, 48, 48)).at[:, :, 10:30, 12:36].set(1.0)
+    protos = grid_prototypes(sup, mask, 2, 0.95)
+    q0 = jax.random.normal(jax.random.PRNGKey(1), (8, 1024, 48, 48))
+    want = float(jnp.sum(score_prototypes(q0, protos)))
+    got = float(jnp.sum(alp_match_fused(q0, protos.protos, protos.valid,
+                                        interpret=False)))
+    print(f"fused ALP correct: {abs(want - got) / max(abs(want), 1e-9):.2e} "
+          f"rel err", flush=True)
+    f1 = jax.jit(lambda q: jnp.sum(score_prototypes(q, protos)))
+    f2 = jax.jit(lambda q: jnp.sum(alp_match_fused(q, protos.protos,
+                                                   protos.valid,
+                                                   interpret=False)))
+    mk = lambda i: (jax.random.normal(jax.random.PRNGKey(i),
+                                      (8, 1024, 48, 48)),)
+    bench("ALP jnp batch8", f1, mk)
+    bench("ALP fused batch8", f2, mk)
+
+
+STAGES = {"calib": stage_calib, "sam": stage_sam, "dino": stage_dino,
+          "cca": stage_cca, "cca_pallas": stage_cca_pallas,
+          "alp": stage_alp}
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or list(STAGES)
+    print("devices:", jax.devices(), flush=True)
+    for name in which:
+        STAGES[name]()
+    print("SUITE DONE", flush=True)
