@@ -45,7 +45,8 @@ def build_models(cfg: Config, coarse_params=None, sam_params=None):
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     coarse = FewShotSeg(image_size=cfg.input_size[0],
                         which_model=cfg.modelname,
-                        proto_grid_size=cfg.proto_grid_size, dtype=dtype)
+                        proto_grid_size=cfg.proto_grid_size, dtype=dtype,
+                        use_fused_alp=cfg.use_fused_alp)
     sam = build_sam(SAM_VERSIONS[cfg.protosam_sam_ver], dtype=dtype)
 
     rng = jax.random.PRNGKey(cfg.seed)

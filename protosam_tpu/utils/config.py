@@ -113,6 +113,7 @@ class Config:
     dtype: str = "bfloat16"
     slice_batch: int = 4
     max_ccs: int = 8
+    use_fused_alp: bool = False   # Pallas ALP kernel (inference only)
 
     @property
     def feature_hw(self) -> list[int]:
