@@ -18,9 +18,33 @@ import os
 import time
 
 
+def _watchdog(seconds: float):
+    """The axon device can wedge indefinitely (claims outlive crashed
+    compiles); fail loudly instead of hanging the driver."""
+    import threading
+
+    def boom():
+        import sys
+
+        print("bench watchdog: device unresponsive, aborting",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, boom)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    guard = _watchdog(float(os.environ.get("BENCH_DEVICE_TIMEOUT", "900")))
+    # tiny op proves the device is live before the big compiles start
+    float(jnp.ones((8, 8)).sum())
+    guard.cancel()
+    _watchdog(float(os.environ.get("BENCH_TOTAL_TIMEOUT", "3300")))
 
     from protosam_tpu.models.alpnet import FewShotSeg
     from protosam_tpu.models.io_protocol import ALPNetInput

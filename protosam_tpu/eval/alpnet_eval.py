@@ -131,14 +131,34 @@ def run_alpnet_eval(cfg: Config, model: FewShotSeg | None = None,
                 groups[int(s["part_assign"])].append(s)
             for qpart, ss in groups.items():
                 qrys = jnp.asarray(np.stack([x["image"] for x in ss]))
-                preds = predict(params, sup_imgs[qpart][None]
-                                if sup_imgs[qpart].ndim == 3
-                                else sup_imgs[qpart],
-                                sup_fg[qpart][None] if sup_fg[qpart].ndim == 2
-                                else sup_fg[qpart],
-                                sup_bg[qpart][None] if sup_bg[qpart].ndim == 2
-                                else sup_bg[qpart],
-                                qrys, cfg.val_wsize)
+                sup_i = (sup_imgs[qpart][None] if sup_imgs[qpart].ndim == 3
+                         else sup_imgs[qpart])
+                sup_f = (sup_fg[qpart][None] if sup_fg[qpart].ndim == 2
+                         else sup_fg[qpart])
+                sup_b = (sup_bg[qpart][None] if sup_bg[qpart].ndim == 2
+                         else sup_bg[qpart])
+                preds = predict(params, sup_i, sup_f, sup_b, qrys,
+                                cfg.val_wsize)
+                if cfg.ttt:
+                    # test-time training per slice on the coarse pred, then
+                    # re-predict; restore params afterwards when
+                    # reset_after_slice (reference validation.py:273-281)
+                    from protosam_tpu.eval.ttt import test_time_training
+
+                    new_preds = []
+                    ttt_params = params
+                    for x, p0 in zip(ss, np.asarray(preds)):
+                        ttt_params = test_time_training(
+                            model, ttt_params if not cfg.reset_after_slice
+                            else params,
+                            np.asarray(x["image"]), p0.astype(np.float32),
+                            which_aug=cfg.which_aug, lr=cfg.lr,
+                            optim_type=cfg.optim_type, seed=cfg.seed)
+                        new_preds.append(np.asarray(predict(
+                            ttt_params, sup_i, sup_f, sup_b,
+                            jnp.asarray(x["image"])[None],
+                            cfg.val_wsize))[0])
+                    preds = jnp.asarray(np.stack(new_preds))
                 preds = np.asarray(
                     resize_nearest(jnp.asarray(preds)[:, None],
                                    ss[0]["label"].shape)[:, 0])

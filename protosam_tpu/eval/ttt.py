@@ -16,6 +16,19 @@ import numpy as np
 from protosam_tpu.data.transforms import get_aug, transform_with_label
 from protosam_tpu.train.step import TrainState, make_optimizer, make_train_step
 
+# the jitted TTT step is shape/model-keyed and reused across slices —
+# rebuilding it per slice would recompile every time
+_STEP_CACHE: dict = {}
+
+
+def _get_step(model, lr, optim_type, align_weight):
+    key = (repr(model), lr, optim_type, align_weight)
+    if key not in _STEP_CACHE:
+        opt = make_optimizer(lr=lr, optim_type=optim_type)
+        _STEP_CACHE[key] = (opt, jax.jit(
+            make_train_step(model, opt, align_weight=align_weight)))
+    return _STEP_CACHE[key]
+
 
 def test_time_training(model, params, image: np.ndarray,
                        prediction: np.ndarray, *, n_steps: int = 20,
@@ -30,9 +43,8 @@ def test_time_training(model, params, image: np.ndarray,
     comp = np.concatenate(
         [image.transpose(1, 2, 0), prediction[..., None]], axis=-1)
 
-    opt = make_optimizer(lr=lr, optim_type=optim_type)
+    opt, step_fn = _get_step(model, lr, optim_type, align_weight)
     state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
-    step_fn = jax.jit(make_train_step(model, opt, align_weight=align_weight))
 
     c_img = image.shape[0]
     for _ in range(n_steps):

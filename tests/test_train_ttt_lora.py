@@ -122,3 +122,28 @@ def test_lora_roundtrip(tmp_path, rng):
     d2 = float(jnp.abs(collapsed["encoder"]["blocks"]["attn"]["qkv"]["kernel"]
                        - qkv2).max())
     assert d2 == 0.0
+
+
+def test_alpnet_eval_with_ttt(data_dir):
+    """TTT-enabled eval path runs end-to-end (tiny model, 2 TTT steps)."""
+    import protosam_tpu.eval.ttt as ttt_mod
+    from protosam_tpu.eval.alpnet_eval import run_alpnet_eval
+
+    orig = ttt_mod.test_time_training
+
+    def fast_ttt(model, params, image, prediction, **kw):
+        kw["n_steps"] = 1
+        return orig(model, params, image, prediction, **kw)
+
+    ttt_mod.test_time_training = fast_ttt
+    try:
+        cfg = _cfg(data_dir)
+        cfg.dataset = "CHAOST2"
+        cfg.label_sets = 0
+        cfg.support_idx = [-1]
+        cfg.ttt = True
+        cfg.log_dir = ""
+        res = run_alpnet_eval(cfg, write_preds=False)
+        assert "meanDice" in res
+    finally:
+        ttt_mod.test_time_training = orig
