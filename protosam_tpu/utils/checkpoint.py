@@ -46,7 +46,11 @@ def load_torch_snapshot(path: str) -> Any:
     """
     import torch
 
-    from protosam_tpu.utils.torch_convert import convert_dinov2, convert_sam
+    from protosam_tpu.utils.torch_convert import (
+        convert_deeplab_resnet101,
+        convert_dinov2,
+        convert_sam,
+    )
 
     sd = torch.load(path, map_location="cpu")
     if isinstance(sd, dict) and "state_dict" in sd:
@@ -57,7 +61,11 @@ def load_torch_snapshot(path: str) -> Any:
     if any(k.startswith("encoder.") for k in keys):
         enc = {k[len("encoder."):]: v for k, v in sd.items()
                if k.startswith("encoder.")}
+        if any(k.startswith(("backbone.", "localconv.")) for k in enc):
+            return {"encoder": convert_deeplab_resnet101(enc)}
         return {"encoder": convert_dinov2(enc)}
+    if any(k.startswith(("backbone.", "localconv.")) for k in keys):
+        return {"encoder": convert_deeplab_resnet101(sd)}
     return convert_dinov2(sd)
 
 

@@ -232,6 +232,54 @@ def convert_dinov2(state_dict: Mapping[str, Any]) -> dict:
     return params
 
 
+def convert_deeplab_resnet101(state_dict: Mapping[str, Any]) -> dict:
+    """Convert the reference's TVDeeplabRes101Encoder weights (torchvision
+    deeplabv3_resnet101 backbone + 1×1 localconv; reference
+    models/backbone/torchvision_backbones.py:12-58) to flax params.
+
+    Accepted key layouts: ``backbone.<...>`` (the wrapper's own state dict)
+    or bare torchvision ``conv1/bn1/layer{1-4}...`` keys.
+    """
+    params: dict = {}
+
+    def bn(path, key, w):
+        name = {"weight": "weight", "bias": "bias",
+                "running_mean": "running_mean",
+                "running_var": "running_var"}.get(key)
+        if name is not None:
+            _set(params, path + [name], w)
+
+    for name, v in state_dict.items():
+        w = _np(v)
+        parts = name.split(".")
+        if parts[0] == "backbone":
+            parts = parts[1:]
+        if not parts:
+            continue
+        if parts[0] == "conv1":
+            _conv(params, ["conv1"], parts[-1], w)
+        elif parts[0] == "bn1":
+            bn(["bn1"], parts[-1], w)
+        elif parts[0].startswith("layer"):
+            li = parts[0][len("layer"):]
+            bi = parts[1]
+            base = [f"layer{li}_{bi}"]
+            sub = parts[2]
+            if sub.startswith("conv"):
+                _conv(params, base + [sub], parts[-1], w)
+            elif sub.startswith("bn"):
+                bn(base + [sub], parts[-1], w)
+            elif sub == "downsample":
+                if parts[3] == "0":
+                    _conv(params, base + ["downsample_conv"], parts[-1], w)
+                else:
+                    bn(base + ["downsample_bn"], parts[-1], w)
+        elif parts[0] == "localconv":
+            _conv(params, ["localconv"], parts[-1], w)
+        # classifier/aspp heads are dropped (reference drops ASPP too)
+    return params
+
+
 def load_sam_pth(path: str) -> dict:
     """Load a SAM/MedSAM ``.pth`` and convert (requires torch, CPU-only)."""
     import torch
