@@ -81,6 +81,10 @@ class DinoVisionTransformer(nn.Module):
     pos_embed_size: int = 37  # 518 // 14, the pretrain grid
     interpolate_antialias: bool = False
     dtype: jnp.dtype = jnp.float32
+    # rematerialize blocks under grad (trade FLOPs for activation memory
+    # when fine-tuning the big encoders; reference uses torch grad
+    # checkpointing for the same purpose, image_encoder.py:113-118)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
@@ -120,8 +124,9 @@ class DinoVisionTransformer(nn.Module):
 
         # one traced block scanned over stacked per-layer params (compile
         # time: 1 block instead of depth blocks)
+        block_cls = nn.remat(Block) if self.remat else Block
         ScannedBlocks = nn.scan(
-            Block,
+            block_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.depth,

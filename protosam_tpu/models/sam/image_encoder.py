@@ -211,6 +211,9 @@ class ImageEncoderViT(nn.Module):
     window_size: int = 14
     global_attn_indexes: Sequence[int] = ()
     dtype: jnp.dtype = jnp.float32
+    # rematerialize blocks under grad (the reference's
+    # use_grad_checkpointing flag, image_encoder.py:36, 113-118)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -226,8 +229,9 @@ class ImageEncoderViT(nn.Module):
         is_global = jnp.asarray(
             [i in self.global_attn_indexes for i in range(self.depth)])
 
+        block_cls = nn.remat(Block) if self.remat else Block
         ScannedBlocks = nn.scan(
-            Block,
+            block_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=0,
