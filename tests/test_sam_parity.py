@@ -177,3 +177,26 @@ def test_mask_decoder_parity(decoder_pair, multimask):
                                atol=5e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(got_iou), want_iou.numpy(),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_batched_decode_equals_per_prompt_loop(decoder_pair):
+    """The pipeline batches the decoder over components; must equal the
+    reference's per-component loop (ProtoSAM.py:505-527) exactly."""
+    t, f, params = decoder_pair
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((4, 16, 16, 256)).astype(np.float32)
+    pe = rng.standard_normal((1, 16, 16, 256)).astype(np.float32)
+    sparse = rng.standard_normal((4, 3, 256)).astype(np.float32)
+    dense = rng.standard_normal((4, 16, 16, 256)).astype(np.float32)
+
+    batched_m, batched_iou = f.apply(
+        {"params": params}, jnp.asarray(emb), jnp.asarray(pe),
+        jnp.asarray(sparse), jnp.asarray(dense), False)
+    for i in range(4):
+        mi, ioui = f.apply(
+            {"params": params}, jnp.asarray(emb[i:i + 1]), jnp.asarray(pe),
+            jnp.asarray(sparse[i:i + 1]), jnp.asarray(dense[i:i + 1]), False)
+        np.testing.assert_allclose(np.asarray(batched_m[i]),
+                                   np.asarray(mi[0]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(batched_iou[i]),
+                                   np.asarray(ioui[0]), atol=1e-5)
