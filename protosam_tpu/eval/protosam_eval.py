@@ -98,7 +98,7 @@ def resolve_test_class(cfg: Config) -> int:
 
 
 def run_eval(cfg: Config, pipe: ProtoSAM | None = None,
-             mode: str = "volume") -> dict:
+             mode: str = "volume", profile: bool = False) -> dict:
     if cfg.dataset.lower() == "polyps":
         return run_eval_polyp(cfg, pipe)
     base = cfg.dataset.split("_")[0]
@@ -128,6 +128,9 @@ def run_eval(cfg: Config, pipe: ProtoSAM | None = None,
     dice_cases, iou_cases = defaultdict(list), defaultdict(list)
     bboxes_w_scores = []
 
+    from protosam_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
     t0 = time.time()
     n_slices = 0
 
@@ -155,9 +158,10 @@ def run_eval(cfg: Config, pipe: ProtoSAM | None = None,
 
         if mode == "volume":
             queries = jnp.asarray(np.stack([s["image"] for s in samples]))
-            preds, scores = pipe.forward_volume(queries, inp,
-                                                slice_batch=cfg.slice_batch)
-            preds = np.asarray(preds)
+            with timer.stage(f"volume_chunk"):
+                preds, scores = pipe.forward_volume(
+                    queries, inp, slice_batch=cfg.slice_batch)
+                preds = np.asarray(preds)
         else:
             preds = []
             for s in samples:
@@ -191,6 +195,9 @@ def run_eval(cfg: Config, pipe: ProtoSAM | None = None,
         "n_slices": n_slices,
         "slices_per_sec": n_slices / elapsed if elapsed > 0 else 0.0,
     }
+    if profile:
+        result["stage_timings"] = timer.as_dict()
+        log.info("stage timings:\n%s", timer.report())
     if bboxes_w_scores:
         from protosam_tpu.utils.detection import eval_detection
 
