@@ -68,11 +68,17 @@ def main():
     qry0 = jax.random.normal(jax.random.PRNGKey(1),
                              (1, 3, image_size, image_size), jnp.float32)
 
-    coarse_params = coarse.init(rng, supp, fg, 1 - fg, qry0)["params"]
-    sam_params = sam.init(
-        rng, jnp.zeros((1, sam.image_size, sam.image_size, 3)),
-        jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32),
-        jnp.zeros((1, 4)))["params"]
+    # init on the CPU backend (fast, no device init-compile), then let jit
+    # move params to the chip
+    with jax.default_device(jax.devices("cpu")[0]):
+        coarse_params = coarse.init(rng, supp, fg, 1 - fg, qry0)["params"]
+        sam_params = sam.init(
+            rng, jnp.zeros((1, sam.image_size, sam.image_size, 3)),
+            jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32),
+            jnp.zeros((1, 4)))["params"]
+    dev = jax.devices()[0]
+    coarse_params = jax.device_put(coarse_params, dev)
+    sam_params = jax.device_put(sam_params, dev)
 
     pipe = ProtoSAM(coarse, coarse_params, sam, sam_params, ProtoSAMConfig())
 
