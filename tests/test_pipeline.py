@@ -1,6 +1,7 @@
 """End-to-end ProtoSAM pipeline smoke tests (tiny models, CPU)."""
 
 import numpy as np
+import jax
 import pytest
 
 import jax
@@ -91,3 +92,21 @@ def test_pipeline_mask_prompts(tiny_pipeline):
     pred, scores = pipe.forward(qry, inp)
     assert pred.shape == (126, 126)
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_forward_volume_equals_single(tiny_pipeline):
+    """The batched volume program must reproduce single-slice forward."""
+    coarse, cp, sam, sp, supp, fg, qry = tiny_pipeline
+    cfg = ProtoSAMConfig(image_size=(256, 256), use_cca=True, max_ccs=4)
+    pipe = ProtoSAM(coarse, cp, sam, sp, cfg)
+    queries = jnp.concatenate(
+        [qry, jax.random.normal(jax.random.PRNGKey(7), (2, 3, 126, 126))],
+        axis=0)
+    inp = ALPNetInput([[supp]], [[fg]], qry)
+    preds, scores = pipe.forward_volume(queries, inp, slice_batch=3)
+    for i in range(3):
+        p1, s1 = pipe.forward(queries[i:i + 1], inp)
+        np.testing.assert_allclose(np.asarray(preds[i]), np.asarray(p1),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(scores[i]), np.asarray(s1),
+                                   atol=1e-4, rtol=1e-4)
