@@ -189,7 +189,14 @@ class ProtoSAM:
         stats = connected_components(pred, cfg.max_ccs)
         conf = component_confidences(stats, probs[0, 1], pred)
         if cfg.use_cca:
+            # cca mode keeps a single component at slot 0 — shrink the stats
+            # to one row BEFORE prompt extraction so the per-component
+            # top-k / dilation work doesn't run 8x dead lanes
             stats, conf = _keep_best_component(stats, conf)
+            stats = ComponentStats(
+                labels=stats.labels, num=stats.num, valid=stats.valid[:1],
+                areas=stats.areas[:1], bboxes=stats.bboxes[:1],
+                centroids=stats.centroids[:1])
 
         pts = build_sam_prompts(
             probs[0, 1], probs[0, 0], stats,
@@ -197,19 +204,11 @@ class ProtoSAM:
             use_neg_points=cfg.use_neg_points) if cfg.use_points else None
         boxes = stats.bboxes.astype(jnp.float32) if cfg.use_bbox else None
 
-        coords = pts.coords if pts is not None else jnp.zeros(
-            (cfg.max_ccs, 1, 2))
+        k_eff = stats.valid.shape[0]
+        coords = pts.coords if pts is not None else jnp.zeros((k_eff, 1, 2))
         labels = pts.labels if pts is not None else -jnp.ones(
             coords.shape[:2], jnp.int32)
-
-        # cca mode keeps a single component at slot 0 — slice the padded
-        # rows away so the decoder doesn't run 8x dead work
-        if cfg.use_cca:
-            coords, labels = coords[:1], labels[:1]
-            boxes = None if boxes is None else boxes[:1]
-            valid = stats.valid[:1]
-        else:
-            valid = stats.valid
+        valid = stats.valid
 
         mask_inputs = None
         if cfg.use_mask:
