@@ -99,6 +99,8 @@ def resolve_test_class(cfg: Config) -> int:
 
 def run_eval(cfg: Config, pipe: ProtoSAM | None = None,
              mode: str = "volume", profile: bool = False) -> dict:
+    if cfg.base_model.upper() == "SAM":
+        return run_eval_sam_oracle(cfg)
     if cfg.dataset.lower() == "polyps":
         return run_eval_polyp(cfg, pipe)
     base = cfg.dataset.split("_")[0]
@@ -215,6 +217,59 @@ def run_eval(cfg: Config, pipe: ProtoSAM | None = None,
                   "w") as f:
             json.dump(result, f, indent=2)
     return result
+
+
+def run_eval_sam_oracle(cfg: Config, wrapper=None) -> dict:
+    """base_model=SAM oracle baseline (reference ProtoSAM.py:170-179 +
+    SamWrapper.py): generate all masks per slice, pick best-vs-GT, score."""
+    import jax
+
+    from protosam_tpu.models.samwrapper import SamWrapper
+
+    base = cfg.dataset.split("_")[0]
+    suffix = "_672" if cfg.input_size[0] > 256 else ""
+    data_key = base + suffix if base + suffix in cfg.data_dirs else cfg.dataset
+    te_dataset, te_parent = med_fewshot_val(
+        dataset_name=base, base_dir=cfg.data_dir(data_key),
+        idx_split=cfg.eval_fold,
+        act_labels=sorted(DATASET_INFO[base]["LABEL_GROUP"]["pa_all"]),
+        npart=cfg.n_sup_part, image_size=cfg.input_size[0],
+        use_clahe=cfg.use_clahe, use_3_slices=cfg.use_3_slices)
+    te_dataset.set_curr_cls(resolve_test_class(cfg))
+
+    if wrapper is None:
+        sam = build_sam(SAM_VERSIONS.get(cfg.protosam_sam_ver, "vit_b"),
+                        dtype=jnp.bfloat16 if cfg.dtype == "bfloat16"
+                        else jnp.float32)
+        params = sam.init(
+            jax.random.PRNGKey(cfg.seed),
+            jnp.zeros((1, sam.image_size, sam.image_size, 3)),
+            jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32),
+            jnp.zeros((1, 4)))["params"]
+        if cfg.reload_model_path:
+            from protosam_tpu.utils.checkpoint import load_params
+            params = load_params(cfg.reload_model_path, params)
+        wrapper = SamWrapper(sam, params)
+
+    dice_list, cases = [], defaultdict(list)
+    for idx in range(len(te_dataset)):
+        s = te_dataset[idx]
+        if cfg.skip_no_organ_slices and s["label"].max() < 1:
+            continue
+        img = np.asarray(s["image"]).transpose(1, 2, 0)
+        img = ((img - img.min()) / (img.max() - img.min() + 1e-9) * 255
+               ).astype(np.uint8)
+        pred = wrapper(img, s["label"])
+        m = dice_iou_precision_recall(pred, s["label"])
+        dice_list.append(m["dice"])
+        cases[s["case"]].append(m["dice"])
+    return {
+        "mar_val_batches_meanDice": float(np.mean(dice_list))
+        if dice_list else float("nan"),
+        "cases": {k: {"meanDice": float(np.mean(v))} for k, v in
+                  cases.items()},
+        "n_slices": len(dice_list),
+    }
 
 
 def run_eval_polyp(cfg: Config, pipe: ProtoSAM | None = None) -> dict:

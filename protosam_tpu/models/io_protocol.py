@@ -160,3 +160,14 @@ class ALPNetWrapper(ModelWrapper):
             input_data.isval, input_data.val_wsize,
             supp_fts=input_data.supp_fts)
         return out["logits"]
+
+
+class SamWrapperWrapper(ModelWrapper):
+    """Oracle-baseline adapter (reference ProtoSAM.py:170-179): runs the
+    automatic-mask-generator wrapper and shapes the best mask like 2-class
+    logits."""
+
+    def __call__(self, input_data: SAMWrapperInput):
+        pred = self.model(input_data.image, input_data.image_labels)
+        pred = jnp.asarray(pred, jnp.float32)[None, None]
+        return jnp.concatenate([1.0 - pred, pred], axis=1)

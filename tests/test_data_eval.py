@@ -122,3 +122,24 @@ def test_full_eval_driver(data_dir, monkeypatch):
     assert 0.0 <= result["mar_val_batches_meanDice"] <= 1.0
     assert result["n_slices"] > 0
     assert len(result["cases"]) >= 3
+
+
+def test_sam_oracle_eval(data_dir):
+    """base_model=SAM oracle path: AMG best-vs-GT over the fold (driven
+    with a perfect-oracle stub wrapper)."""
+    import protosam_tpu.eval.protosam_eval as pe
+
+    class FakeWrapper:
+        def __call__(self, image, labels):
+            return np.asarray(labels, np.float32)
+
+    cfg = Config()
+    cfg.dataset = "CHAOST2"
+    cfg.data_dirs = {"CHAOST2": data_dir}
+    cfg.input_size = (HW, HW)
+    cfg.base_model = "SAM"
+    cfg.curr_cls = "rk"
+    cfg.log_dir = ""
+    res = pe.run_eval_sam_oracle(cfg, wrapper=FakeWrapper())
+    assert res["mar_val_batches_meanDice"] == pytest.approx(1.0, abs=1e-6)
+    assert res["n_slices"] > 0
