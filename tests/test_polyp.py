@@ -54,3 +54,16 @@ def test_polyp_support(polyp_root):
     assert len(sup_imgs) == 2
     assert sup_imgs[0].shape == (1, 3, 256, 256)
     assert sup_gts[0].shape == (1, 256, 256)
+
+
+def test_polyp_support_from_text_file(polyp_root, tmp_path):
+    ds = PolypDataset(polyp_root, train=True, use_sam_trans=True,
+                      image_size=256, seed=0)
+    lst = tmp_path / "support.txt"
+    with open(lst, "w") as f:
+        f.write(f"{ds.images[0]} {ds.gts[0]}\n{ds.images[1]} {ds.gts[1]}\n")
+    sup_imgs, sup_gts, _ = ds.get_support(n_support=2, text_file=str(lst))
+    assert len(sup_imgs) == 2 and sup_imgs[0].shape == (1, 3, 256, 256)
+    import pytest
+    with pytest.raises(ValueError):
+        ds.get_support(n_support=5, text_file=str(lst))

@@ -44,6 +44,7 @@ def test_training_loop_runs_and_checkpoints(data_dir, tmp_path):
     from protosam_tpu.train.trainer import train
 
     cfg = _cfg(data_dir, str(tmp_path))
+    cfg.grad_accumulation_steps = 2
     out = train(cfg, max_steps=4)
     assert len(out["history"]) >= 1
     assert np.isfinite(out["history"][-1]["loss"])
