@@ -51,20 +51,24 @@ def main():
     from protosam_tpu.models.sam import build_sam
     from protosam_tpu.pipeline import ProtoSAM, ProtoSAMConfig
 
-    sam_ver = os.environ.get("BENCH_SAM_VER", "vit_b")
-    n_slices = int(os.environ.get("BENCH_SLICES", "24"))
-    slice_batch = int(os.environ.get("BENCH_BATCH", "4"))
-    image_size = 672
-    dtype = jnp.bfloat16
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    sam_ver = os.environ.get("BENCH_SAM_VER", "vit_t" if smoke else "vit_b")
+    n_slices = int(os.environ.get("BENCH_SLICES", "4" if smoke else "24"))
+    slice_batch = int(os.environ.get("BENCH_BATCH", "2" if smoke else "4"))
+    image_size = 126 if smoke else 672
+    coarse_name = "dinov2_t14" if smoke else "dinov2_l14"
+    dtype = jnp.float32 if smoke else jnp.bfloat16
 
-    coarse = FewShotSeg(image_size=image_size, which_model="dinov2_l14",
+    coarse = FewShotSeg(image_size=image_size, which_model=coarse_name,
                         dtype=dtype)
-    sam = build_sam(sam_ver, dtype=dtype)
+    sam = build_sam(sam_ver, dtype=dtype,
+                    image_size=256 if smoke else 1024)
 
     rng = jax.random.PRNGKey(0)
     supp = jax.random.normal(rng, (1, 3, image_size, image_size), jnp.float32)
     fg = jnp.zeros((1, image_size, image_size))
-    fg = fg.at[:, 220:420, 200:400].set(1.0)
+    q = image_size // 3
+    fg = fg.at[:, q:2 * q, q:2 * q].set(1.0)
     qry0 = jax.random.normal(jax.random.PRNGKey(1),
                              (1, 3, image_size, image_size), jnp.float32)
 
@@ -80,7 +84,9 @@ def main():
     coarse_params = jax.device_put(coarse_params, dev)
     sam_params = jax.device_put(sam_params, dev)
 
-    pipe = ProtoSAM(coarse, coarse_params, sam, sam_params, ProtoSAMConfig())
+    pipe = ProtoSAM(coarse, coarse_params, sam, sam_params,
+                    ProtoSAMConfig(image_size=(sam.image_size,) * 2,
+                                   max_ccs=4 if smoke else 8))
 
     # synthetic volume: distinct slices, and a disjoint warm-up volume — the
     # axon terminal caches identical executions, so timed inputs must never
@@ -108,7 +114,7 @@ def main():
     value = n_slices / elapsed
     print(json.dumps({
         "metric": f"slices/sec/chip full-pipeline one-shot inference "
-                  f"(dinov2_l14+{sam_ver}, {image_size}px, CHAOS-like volume)",
+                  f"({coarse_name}+{sam_ver}, {image_size}px, CHAOS-like volume)",
         "value": round(value, 2),
         "unit": "slices/sec/chip",
         "vs_baseline": round(value / 50.0, 3),
