@@ -46,13 +46,16 @@ def encoder_param_sharding(params: Any, mesh: Mesh) -> Any:
         names = [p.key for p in path if hasattr(p, "key")]
         parent = names[-2] if len(names) >= 2 else ""
         leafname = names[-1] if names else ""
-        if leafname == "kernel" and leaf.ndim == 2:
+        if leafname == "kernel" and leaf.ndim in (2, 3):
+            # 3-D kernels are nn.scan-stacked: (layers, in, out)
+            lead = (None,) * (leaf.ndim - 2)
             if parent in _COL:
-                return P(None, "model")
+                return P(*lead, None, "model")
             if parent in _ROW:
-                return P("model", None)
+                return P(*lead, "model", None)
         if leafname == "bias" and parent in _COL:
-            return P("model")
+            lead = (None,) * (leaf.ndim - 1)
+            return P(*lead, "model")
         return P()
 
     return jax.tree_util.tree_map_with_path(
