@@ -113,6 +113,9 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     table_rows: int | None = None
     q_chunk_rows: int = 8   # row-chunk size for grids with >= 2048 tokens
+    # fused Pallas flash attention with on-the-fly rel-pos bias for large
+    # grids (ops/vitdet_flash.py); opt-in until hardware-validated
+    use_flash_relpos: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -134,6 +137,16 @@ class Attention(nn.Module):
             Rw = _rel_pos_table(rel_w[:2 * w - 1].astype(self.dtype), w, w)
         else:
             Rh = Rw = None
+
+        if (self.use_flash_relpos and self.use_rel_pos
+                and h * w >= 2048 and h % self.q_chunk_rows == 0):
+            from protosam_tpu.ops.vitdet_flash import flash_attention_relpos
+
+            out = flash_attention_relpos(
+                q, k, v, Rh.astype(jnp.float32), Rw.astype(jnp.float32),
+                (h, w), scale, rows_per_blk=self.q_chunk_rows)
+            out = out.astype(self.dtype).reshape(b, h, w, c)
+            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
         rq = q.reshape(b, h, w, self.num_heads, head_dim)
         if h * w >= 2048 and h % self.q_chunk_rows == 0:
@@ -167,11 +180,13 @@ class Block(nn.Module):
     grid_size: int = 64
     embed_dim: int = 768
     dtype: jnp.dtype = jnp.float32
+    use_flash_relpos: bool = False
 
     def setup(self):
         self.norm1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
         self.attn = Attention(self.num_heads, self.use_rel_pos, self.dtype,
-                              table_rows=2 * self.grid_size - 1)
+                              table_rows=2 * self.grid_size - 1,
+                              use_flash_relpos=self.use_flash_relpos)
         self.norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
         self.mlp = MLPBlock(int(self.embed_dim * self.mlp_ratio), _gelu,
                             self.dtype)
@@ -214,6 +229,7 @@ class ImageEncoderViT(nn.Module):
     # rematerialize blocks under grad (the reference's
     # use_grad_checkpointing flag, image_encoder.py:36, 113-118)
     remat: bool = False
+    use_flash_relpos: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -245,6 +261,7 @@ class ImageEncoderViT(nn.Module):
             grid_size=n,
             embed_dim=self.embed_dim,
             dtype=self.dtype,
+            use_flash_relpos=self.use_flash_relpos,
             name="blocks",
         )(x, is_global)
 

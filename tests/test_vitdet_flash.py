@@ -1,0 +1,75 @@
+"""ViTDet flash attention with decomposed rel-pos vs the einsum reference
+(interpret mode)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from protosam_tpu.models.sam.image_encoder import _rel_pos_table
+from protosam_tpu.ops.vitdet_flash import flash_attention_relpos
+
+
+def reference(q, k, v, Rh, Rw, h, w, scale):
+    b, s, nh, d = q.shape
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+    rq = q.reshape(b, h, w, nh, d)
+    bh = jnp.einsum("bhwnc,hkc->bnhwk", rq, Rh)
+    bw = jnp.einsum("bhwnc,wkc->bnhwk", rq, Rw)
+    attn = (attn.reshape(b, nh, h, w, h, w) + bh[..., None]
+            + bw[..., None, :]).reshape(b, nh, s, s)
+    attn = jax.nn.softmax(attn, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+
+
+def test_matches_einsum_reference(rng):
+    b, h, w, nh, d = 2, 8, 8, 2, 16
+    s = h * w
+    scale = d ** -0.5
+    q = jnp.asarray(rng.standard_normal((b, s, nh, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, nh, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, nh, d)), jnp.float32)
+    rel_h = jnp.asarray(rng.standard_normal((2 * h - 1, d)) * 0.1, jnp.float32)
+    rel_w = jnp.asarray(rng.standard_normal((2 * w - 1, d)) * 0.1, jnp.float32)
+    Rh = _rel_pos_table(rel_h, h, h)
+    Rw = _rel_pos_table(rel_w, w, w)
+
+    want = np.asarray(reference(q, k, v, Rh, Rw, h, w, scale))
+    got = np.asarray(flash_attention_relpos(q, k, v, Rh, Rw, (h, w), scale,
+                                            rows_per_blk=2, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_block_size_invariance(rng):
+    b, h, w, nh, d = 1, 8, 4, 1, 8
+    s = h * w
+    q = jnp.asarray(rng.standard_normal((b, s, nh, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, nh, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, nh, d)), jnp.float32)
+    Rh = jnp.asarray(rng.standard_normal((h, h, d)) * 0.1, jnp.float32)
+    Rw = jnp.asarray(rng.standard_normal((w, w, d)) * 0.1, jnp.float32)
+    a = np.asarray(flash_attention_relpos(q, k, v, Rh, Rw, (h, w), 0.3,
+                                          rows_per_blk=2, interpret=True))
+    bb = np.asarray(flash_attention_relpos(q, k, v, Rh, Rw, (h, w), 0.3,
+                                           rows_per_blk=4, interpret=True))
+    np.testing.assert_allclose(a, bb, atol=1e-5)
+
+
+def test_encoder_flash_matches_chunked(rng):
+    """The flag must not change encoder outputs (interpret mode, grid big
+    enough to trigger the flash path)."""
+    from protosam_tpu.models.sam.image_encoder import ImageEncoderViT
+
+    kw = dict(img_size=8 * 64, patch_size=8, embed_dim=32, depth=1,
+              num_heads=2, out_chans=16, use_rel_pos=True, window_size=14,
+              global_attn_indexes=(0,))
+    base = ImageEncoderViT(**kw)
+    flash = ImageEncoderViT(use_flash_relpos=True, **kw)
+    x = jnp.asarray(rng.standard_normal((1, 512, 512, 3)) * 0.1, jnp.float32)
+    p = base.init(jax.random.PRNGKey(0), x)["params"]
+    p = jax.tree.map(
+        lambda a: a + 0.02 * np.random.default_rng(1).standard_normal(
+            a.shape).astype(np.float32), p)
+    a = np.asarray(base.apply({"params": p}, x))
+    b = np.asarray(flash.apply({"params": p}, x))
+    np.testing.assert_allclose(a, b, atol=3e-5, rtol=1e-4)
