@@ -124,9 +124,45 @@ def stage_alp():
     bench("ALP fused batch8", f2, mk)
 
 
+def stage_vitdet_flash():
+    from protosam_tpu.models.sam.image_encoder import _rel_pos_table
+    from protosam_tpu.ops.vitdet_flash import flash_attention_relpos
+
+    b, h, w, nh, d = 8, 64, 64, 12, 64
+    s = h * w
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, s, nh, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, s, nh, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, s, nh, d), jnp.float32)
+    rel = jax.random.normal(jax.random.PRNGKey(3), (127, d)) * 0.05
+    Rh = _rel_pos_table(rel, h, h)
+    Rw = _rel_pos_table(rel, w, w)
+
+    # correctness vs chunked reference on one batch
+    from protosam_tpu.models.sam.image_encoder import _attend
+    rq = q[:1].reshape(1, h, w, nh, d)
+    want = _attend(rq, k[:1], v[:1], Rh, Rw, nh, d ** -0.5, (h, w), True,
+                   jnp.float32)
+    got = flash_attention_relpos(q[:1], k[:1], v[:1], Rh, Rw, (h, w),
+                                 d ** -0.5, rows_per_blk=8, interpret=False)
+    err = float(jnp.abs(want - got.reshape(want.shape)).max())
+    print(f"vitdet flash max err vs chunked: {err:.2e}", flush=True)
+
+    f = jax.jit(lambda q, k, v: jnp.sum(flash_attention_relpos(
+        q, k, v, Rh, Rw, (h, w), d ** -0.5, rows_per_blk=8,
+        interpret=False).astype(jnp.float32)))
+    bench("vitdet flash batch8 (1 layer)", f,
+          lambda i: (q + i * 1e-5, k, v))
+    g = jax.jit(lambda rq, k, v: jnp.sum(jax.lax.map(
+        lambda a: _attend(a[0], k, v, a[1], Rw, nh, d ** -0.5, (h, w),
+                          True, jnp.float32),
+        (rq, Rh.reshape(8, 8, h, d))).astype(jnp.float32)))
+    rq8 = q.reshape(b, 8, 8, w, nh, d).transpose(1, 0, 2, 3, 4, 5)
+    bench("chunked attn batch8 (1 layer)", g, lambda i: (rq8 + i * 1e-5, k, v))
+
+
 STAGES = {"calib": stage_calib, "sam": stage_sam, "dino": stage_dino,
           "cca": stage_cca, "cca_pallas": stage_cca_pallas,
-          "alp": stage_alp}
+          "alp": stage_alp, "vitdet_flash": stage_vitdet_flash}
 
 
 if __name__ == "__main__":
