@@ -143,3 +143,37 @@ def test_sam_oracle_eval(data_dir):
     res = pe.run_eval_sam_oracle(cfg, wrapper=FakeWrapper())
     assert res["mar_val_batches_meanDice"] == pytest.approx(1.0, abs=1e-6)
     assert res["n_slices"] > 0
+
+
+def test_eval_modes_agree(data_dir, monkeypatch):
+    """volume mode and the faithful per-slice mode must produce the same
+    metrics."""
+    from protosam_tpu.eval.protosam_eval import run_eval
+
+    cfg = Config()
+    cfg.dataset = "CHAOST2"
+    cfg.data_dirs = {"CHAOST2": data_dir}
+    cfg.input_size = (HW, HW)
+    cfg.modelname = "dinov2_t14"
+    cfg.protosam_sam_ver = "vit_t"
+    cfg.curr_cls = "lk"
+    cfg.do_cca = True
+    cfg.support_idx = [-1]
+    cfg.dtype = "float32"
+    cfg.slice_batch = 2
+    cfg.max_ccs = 4
+    cfg.log_dir = ""
+
+    import protosam_tpu.models.sam.registry as reg
+    import protosam_tpu.eval.protosam_eval as pe
+    orig = reg.build_sam
+    monkeypatch.setattr(pe, "build_sam",
+                        lambda t, dtype: orig(t, dtype, 128))
+
+    from protosam_tpu.eval.protosam_eval import build_models
+    pipe = build_models(cfg)
+    r_vol = run_eval(cfg, pipe=pipe, mode="volume")
+    r_slc = run_eval(cfg, pipe=pipe, mode="per_slice")
+    assert r_vol["n_slices"] == r_slc["n_slices"]
+    np.testing.assert_allclose(r_vol["mar_val_batches_meanDice"],
+                               r_slc["mar_val_batches_meanDice"], atol=1e-6)
