@@ -23,11 +23,9 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from protosam_tpu.models.io_protocol import (
     ALPNetInput,
