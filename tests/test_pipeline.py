@@ -110,3 +110,18 @@ def test_forward_volume_equals_single(tiny_pipeline):
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(scores[i]), np.asarray(s1),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_pipeline_multi_point_no_cca(tiny_pipeline):
+    """num_points_for_sam=3, conf mode, cca off, neg points on: the widest
+    prompt configuration."""
+    coarse, cp, sam, sp, supp, fg, qry = tiny_pipeline
+    cfg = ProtoSAMConfig(image_size=(256, 256), use_cca=False,
+                         num_points_for_sam=3, point_mode="conf",
+                         use_neg_points=True, max_ccs=4)
+    pipe = ProtoSAM(coarse, cp, sam, sp, cfg)
+    inp = ALPNetInput([[supp]], [[fg]], qry)
+    pred, scores = pipe.forward(qry, inp)
+    assert pred.shape == (126, 126)
+    assert scores.shape == (4,)
+    assert np.isfinite(np.asarray(pred)).all()
