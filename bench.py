@@ -101,9 +101,26 @@ def main():
 
     # warm-up / compile.  NOTE: block_until_ready is not a reliable
     # completion barrier over the axon tunnel — a scalar host read is; the
-    # checksum depends on every output element.
-    preds, _ = pipe.forward_volume(warm, inp, slice_batch=slice_batch)
-    float(preds.astype(jnp.float32).sum())
+    # checksum depends on every output element.  On OOM, halve the slice
+    # batch and retry (the driver runs unattended).
+    while True:
+        try:
+            preds, _ = pipe.forward_volume(warm, inp,
+                                           slice_batch=slice_batch)
+            float(preds.astype(jnp.float32).sum())
+            break
+        except Exception as e:  # jaxlib runtime errors don't share a base
+            msg = str(e)
+            if ("RESOURCE_EXHAUSTED" in msg or "hbm" in msg.lower()
+                    or "out of memory" in msg.lower()) and slice_batch > 1:
+                slice_batch //= 2
+                warm = warm[:slice_batch]
+                import sys
+
+                print(f"bench: OOM, retrying with slice_batch={slice_batch}",
+                      file=sys.stderr, flush=True)
+                continue
+            raise
 
     t0 = time.time()
     preds, scores = pipe.forward_volume(vol, inp, slice_batch=slice_batch)
