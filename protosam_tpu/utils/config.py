@@ -72,6 +72,14 @@ class Config:
     do_cca: bool = False
     finetune_on_support: bool = False
     online_finetuning: bool = True
+    # accepted for launch-surface parity; these reference flags gate code
+    # paths that are dead/unreachable in the reference itself (SURVEY.md §7)
+    use_slice_adapter: bool = False
+    adapter_layers: int = 3
+    use_edge_detector: bool = False
+    sliding_window_confidence_segmentation: bool = False
+    finetune_model_on_single_slice: bool = False
+    use_pos_enc: bool = False
 
     use_bbox: bool = True
     use_points: bool = True
