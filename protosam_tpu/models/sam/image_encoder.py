@@ -138,33 +138,43 @@ class Attention(nn.Module):
         else:
             Rh = Rw = None
 
-        if (self.use_flash_relpos and self.use_rel_pos
-                and h * w >= 2048 and h % self.q_chunk_rows == 0):
+        def chunked(q, k, v):
+            rq = q.reshape(b, h, w, self.num_heads, head_dim)
+            if h * w >= 2048 and h % self.q_chunk_rows == 0:
+                nch = h // self.q_chunk_rows
+                rq_c = rq.reshape(b, nch, self.q_chunk_rows, w,
+                                  self.num_heads, head_dim
+                                  ).transpose(1, 0, 2, 3, 4, 5)
+                Rh_c = (Rh.reshape(nch, self.q_chunk_rows, h, head_dim)
+                        if self.use_rel_pos else jnp.zeros((nch, 1)))
+                out = jax.lax.map(
+                    lambda args: _attend(args[0], k, v, args[1], Rw,
+                                         self.num_heads, scale, (h, w),
+                                         self.use_rel_pos, self.dtype),
+                    (rq_c, Rh_c))
+                out = out.transpose(1, 0, 2, 3, 4)
+            else:
+                out = _attend(rq, k, v, Rh, Rw, self.num_heads, scale,
+                              (h, w), self.use_rel_pos, self.dtype)
+            return out.reshape(b, h, w, c).astype(self.dtype)
+
+        def flash(q, k, v):
             from protosam_tpu.ops.vitdet_flash import flash_attention_relpos
 
             out = flash_attention_relpos(
                 q, k, v, Rh.astype(jnp.float32), Rw.astype(jnp.float32),
-                (h, w), scale, rows_per_blk=self.q_chunk_rows)
-            out = out.astype(self.dtype).reshape(b, h, w, c)
-            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+                (h, w), scale, rows_per_blk=self.q_chunk_rows,
+                interpret=False)
+            return out.astype(self.dtype).reshape(b, h, w, c)
 
-        rq = q.reshape(b, h, w, self.num_heads, head_dim)
-        if h * w >= 2048 and h % self.q_chunk_rows == 0:
-            nch = h // self.q_chunk_rows
-            rq_c = rq.reshape(b, nch, self.q_chunk_rows, w, self.num_heads,
-                              head_dim).transpose(1, 0, 2, 3, 4, 5)
-            Rh_c = (Rh.reshape(nch, self.q_chunk_rows, h, head_dim)
-                    if self.use_rel_pos else jnp.zeros((nch, 1)))
-            out = jax.lax.map(
-                lambda args: _attend(args[0], k, v, args[1], Rw,
-                                     self.num_heads, scale, (h, w),
-                                     self.use_rel_pos, self.dtype),
-                (rq_c, Rh_c))
-            out = out.transpose(1, 0, 2, 3, 4).reshape(b, h * w, c)
+        if (self.use_flash_relpos and self.use_rel_pos
+                and h * w >= 2048 and h % self.q_chunk_rows == 0):
+            # flash on the chip, chunked XLA when lowered for CPU (init /
+            # interpret-free tests) — one traced program serves both.
+            out = jax.lax.platform_dependent(q, k, v, cpu=chunked,
+                                             default=flash)
         else:
-            out = _attend(rq, k, v, Rh, Rw, self.num_heads, scale, (h, w),
-                          self.use_rel_pos, self.dtype).reshape(b, h * w, c)
-        out = out.reshape(b, h, w, c)
+            out = chunked(q, k, v)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 

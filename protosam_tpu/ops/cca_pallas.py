@@ -14,6 +14,13 @@ entire propagation loop on-chip:
 
 Labels converge to the component's minimum flat index — identical to the
 XLA path and to cv2's scan-order labeling (see ops/cca.py).
+
+VMEM discipline: the doubling scans run as ``lax.fori_loop`` over the step
+index with a *dynamic* roll amount (1 << step), so Mosaic allocates one
+step's temporaries once and reuses them — the fully unrolled form kept
+~50 live (H, W) buffers and blew the 128 MB VMEM budget at 1024².  All
+boolean state is carried as int32: Mosaic's dynamic_rotate does not
+support i1 vectors.
 """
 
 from __future__ import annotations
@@ -37,8 +44,8 @@ def _col_ids(h, w):
     return lax.broadcasted_iota(jnp.int32, (h, w), 1)
 
 
-def _shift(x, dy, dx, fill):
-    """Shift with edge fill via pltpu.roll + iota masking
+def _shift_static(x, dy, dx, fill):
+    """Shift by static (dy, dx) with edge fill via pltpu.roll + iota masking
     (roll only accepts non-negative shifts: -d ≡ size-d)."""
     h, w = x.shape
     out = x
@@ -55,63 +62,82 @@ def _shift(x, dy, dx, fill):
     return out
 
 
-def _neighbor_min(lbl, fg):
+def _shift_dyn(x, amt, axis, sign, fill):
+    """Shift by dynamic ``sign * amt`` (amt a traced int32 in [1, size))
+    along ``axis`` with edge fill."""
+    h, w = x.shape
+    size = h if axis == 0 else w
+    ids = _row_ids(h, w) if axis == 0 else _col_ids(h, w)
+    if sign > 0:
+        out = pltpu.roll(x, amt, axis)
+        bad = ids < amt
+    else:
+        out = pltpu.roll(x, size - amt, axis)
+        bad = ids >= size - amt
+    return jnp.where(bad, fill, out)
+
+
+def _neighbor_min(lbl, fg_i):
     m = lbl
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
-            m = jnp.minimum(m, _shift(lbl, dy, dx, _BIG))
-    return jnp.where(fg, m, _BIG)
+            m = jnp.minimum(m, _shift_static(lbl, dy, dx, _BIG))
+    return jnp.where(fg_i > 0, m, _BIG)
 
 
-def _seg_min_axis(lbl, bg, axis, size):
-    """Segmented min along ``axis`` (both directions) via doubling."""
+def _seg_min_axis(lbl, bg_i, axis, size):
+    """Segmented min along ``axis`` (both directions), log-step doubling.
+
+    fori_loop over the step index with a dynamic roll amount keeps exactly
+    one step's temporaries live in VMEM."""
+    n_steps = max(1, (size - 1).bit_length())
 
     def direction(v, sign):
-        val, blocked = v, bg
-        d = 1
-        while d < size:
-            sv = _shift(val, sign * d if axis == 0 else 0,
-                        sign * d if axis == 1 else 0, _BIG)
-            sb = _shift(blocked, sign * d if axis == 0 else 0,
-                        sign * d if axis == 1 else 0, True)
-            val = jnp.where(blocked, val, jnp.minimum(val, sv))
-            blocked = blocked | sb
-            d *= 2
+        def step(s, carry):
+            val, blocked = carry
+            d = jnp.int32(1) << s
+            sv = _shift_dyn(val, d, axis, sign, _BIG)
+            sb = _shift_dyn(blocked, d, axis, sign, 1)
+            val = jnp.where(blocked > 0, val, jnp.minimum(val, sv))
+            return val, blocked | sb
+
+        val, _ = lax.fori_loop(0, n_steps, step, (v, bg_i))
         return val
 
     fwd = direction(lbl, 1)
     bwd = direction(lbl, -1)
-    return jnp.where(bg, _BIG, jnp.minimum(fwd, bwd))
+    return jnp.where(bg_i > 0, _BIG, jnp.minimum(fwd, bwd))
 
 
 def _kernel(mask_ref, out_ref, iters_ref):
     mask = mask_ref[:]
     h, w = mask.shape
-    fg = mask > 0
-    bg = ~fg
+    fg_i = (mask > 0).astype(jnp.int32)
+    bg_i = 1 - fg_i
     idx = _row_ids(h, w) * w + _col_ids(h, w)
-    lbl = jnp.where(fg, idx, _BIG)
+    lbl = jnp.where(fg_i > 0, idx, _BIG)
 
     def step(lbl):
-        x = _neighbor_min(lbl, fg)
-        x = _seg_min_axis(x, bg, 1, w)
-        x = _seg_min_axis(x, bg, 0, h)
+        x = _neighbor_min(lbl, fg_i)
+        x = _seg_min_axis(x, bg_i, 1, w)
+        x = _seg_min_axis(x, bg_i, 0, h)
         return x
 
     def cond(state):
         _, changed, it = state
-        return jnp.logical_and(changed, it < 64)
+        return jnp.logical_and(changed > 0, it < 64)
 
     def body(state):
         lbl, _, it = state
         new = step(lbl)
-        return new, jnp.any(new != lbl), it + 1
+        changed = jnp.any(new != lbl).astype(jnp.int32)
+        return new, changed, it + 1
 
     lbl = step(lbl)
     lbl, _, iters = lax.while_loop(cond, body,
-                                   (lbl, jnp.bool_(True), jnp.int32(1)))
+                                   (lbl, jnp.int32(1), jnp.int32(1)))
     out_ref[:] = lbl
     iters_ref[0, 0] = iters
 
@@ -134,5 +160,9 @@ def _call(mask, interpret):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
+        # ~10 full-grid int32 temporaries are live across the fixpoint
+        # loop; the default 16 MB scoped-vmem stack is too small at 1024².
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(mask)

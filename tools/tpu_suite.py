@@ -7,8 +7,11 @@ execution cache).  Usage:  python tools/tpu_suite.py [stage ...]
 Stages: calib sam dino cca cca_pallas alp full
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -20,9 +23,15 @@ def bench(name, f, args_fn, n=4):
     t0 = time.time()
     float(f(*args_fn(99)))
     print(f"{name} compile+first: {time.time() - t0:.0f}s", flush=True)
+    # materialize inputs BEFORE the clock starts — args_fn costs (random
+    # generation of ~100 MB arrays) must not pollute the measurement
+    args = [args_fn(i) for i in range(n)]
+    for a in args:
+        for x in jax.tree.leaves(a):
+            x.block_until_ready()
     t0 = time.time()
     for i in range(n):
-        v = float(f(*args_fn(i)))
+        v = float(f(*args[i]))
     print(f"{name}: {(time.time() - t0) / n * 1000:.1f} ms (last={v:.4g})",
           flush=True)
 
