@@ -24,17 +24,53 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _out_shape(x: jax.Array, size: tuple[int, int]) -> tuple[int, ...]:
     return (*x.shape[:-2], int(size[0]), int(size[1]))
 
 
+@functools.lru_cache(maxsize=None)
+def _linear_weights_np(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) interpolation matrix for align_corners=False bilinear
+    (half-pixel mapping ``src = (i+0.5)*in/out - 0.5``, border-clamped) —
+    identical taps/weights to F.interpolate and jax.image.resize
+    (antialias=False).  Without antialiasing every output pixel mixes at
+    most two inputs, so the matrix is 2-banded."""
+    # torch CPU computes source coords in float32 (accscalar_t=float):
+    # scale = in/out, src = scale*(i+0.5) - 0.5 — replicate the rounding
+    i = np.arange(out_size, dtype=np.float32)
+    scale = np.float32(in_size) / np.float32(out_size)
+    src = scale * (i + np.float32(0.5)) - np.float32(0.5)
+    lo = np.floor(src).astype(np.int64)
+    frac = (src - lo).astype(np.float32)
+    i = np.arange(out_size)
+    w = np.zeros((out_size, in_size), np.float32)
+    np.add.at(w, (i, np.clip(lo, 0, in_size - 1)), 1.0 - frac)
+    np.add.at(w, (i, np.clip(lo + 1, 0, in_size - 1)), frac)
+    return w
+
+
 def resize_bilinear(x: jax.Array, size: tuple[int, int]) -> jax.Array:
-    """``F.interpolate(x, size, mode='bilinear', align_corners=False)``."""
+    """``F.interpolate(x, size, mode='bilinear', align_corners=False)``.
+
+    Implemented as two separable weight-matrix contractions on the MXU —
+    ``jax.image.resize``'s lowering costs ~100 ms for (8, 3, 672²)→1024²
+    on v5e where the equivalent matmuls cost ~1 ms."""
     if x.shape[-2:] == tuple(size):
         return x
-    return jax.image.resize(x, _out_shape(x, size), method="linear", antialias=False)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        return jax.image.resize(x, _out_shape(x, size), method="linear",
+                                antialias=False)
+    h_in, w_in = x.shape[-2], x.shape[-1]
+    wr = jnp.asarray(_linear_weights_np(h_in, int(size[0])))
+    wc = jnp.asarray(_linear_weights_np(w_in, int(size[1])))
+    y = jnp.einsum("...hw,jw->...hj", x.astype(jnp.float32), wc,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("...hj,ih->...ij", y, wr,
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
 
 
 def resize_bilinear_antialias(x: jax.Array, size: tuple[int, int]) -> jax.Array:
@@ -73,7 +109,20 @@ def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:
     cols = jnp.floor(jnp.arange(w_out) * (w_in / w_out)).astype(jnp.int32)
     rows = jnp.clip(rows, 0, h_in - 1)
     cols = jnp.clip(cols, 0, w_in - 1)
-    return x[..., rows, :][..., :, cols]
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        # integer/bool masks: keep the gather (a float matmul would be
+        # inexact past 2^24)
+        return x[..., rows, :][..., :, cols]
+    # float path: one-hot selection matmuls.  A gather along the minor
+    # (lane) dimension serializes on TPU — at (8, 1024, 1024) -> 672² it
+    # costs ~100 ms; the equivalent 0/1 matmul rides the MXU and is exact
+    # (each output element is 1.0 * x[src] + zeros).
+    sel_r = (rows[:, None] == jnp.arange(h_in)[None, :]).astype(x.dtype)
+    sel_c = (cols[:, None] == jnp.arange(w_in)[None, :]).astype(x.dtype)
+    y = jnp.einsum("...hw,jw->...hj", x, sel_c,
+                   preferred_element_type=x.dtype)
+    return jnp.einsum("...hj,ih->...ij", y, sel_r,
+                      preferred_element_type=x.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "mode"))
