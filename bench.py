@@ -79,15 +79,10 @@ def main():
 
     # params from eval_shape + host-side numpy fill: no init forward pass
     # (synthetic weights are fine for a throughput bench, and a CPU-backend
-    # DINOv2-L einsum forward costs tens of minutes)
-    import numpy as np
-
-    def materialize(shapes):
-        rng_np = np.random.default_rng(0)
-        return jax.tree.map(
-            lambda s: jnp.asarray(
-                rng_np.standard_normal(s.shape, np.float32) * 0.02, s.dtype),
-            shapes)
+    # DINOv2-L einsum forward costs tens of minutes).  Role-aware fill:
+    # norm scales ~1 / biases 0 so activations and the data-dependent
+    # stages behave like a real checkpoint.
+    from protosam_tpu.utils.synthetic import synthetic_params as materialize
 
     coarse_shapes = jax.eval_shape(
         lambda r: coarse.init(r, supp, fg, 1 - fg, qry0)["params"], rng)

@@ -80,6 +80,12 @@ class DinoVisionTransformer(nn.Module):
     num_register_tokens: int = 0
     pos_embed_size: int = 37  # 518 // 14, the pretrain grid
     interpolate_antialias: bool = False
+    # hub models call F.interpolate with scale_factor=(g+offset)/m instead of
+    # size=(g, g) — the given factor drives the source mapping, shifting
+    # every interpolated pos-embed sample (hub vision_transformer.py
+    # interpolate_pos_encoding).  0.1 for the plain vit*14 checkpoints,
+    # 0.0 for the _reg ones.
+    interpolate_offset: float = 0.1
     dtype: jnp.dtype = jnp.float32
     # rematerialize blocks under grad (trade FLOPs for activation memory
     # when fine-tuning the big encoders; reference uses torch grad
@@ -144,17 +150,27 @@ class DinoVisionTransformer(nn.Module):
 
     def _interpolate_pos_encoding(self, pos_embed: jax.Array, gh: int,
                                   gw: int) -> jax.Array:
-        """Bicubic interpolation of the pretrain pos-embed grid to (gh, gw)
-        (dinov2's interpolate_pos_encoding; antialias per hub config)."""
+        """Torch-exact bicubic interpolation of the pretrain pos-embed grid
+        to (gh, gw) — hub interpolate_pos_encoding semantics: A=-0.75
+        kernel (PIL a=-0.5 when antialias), and with interpolate_offset the
+        scale_factor call mode where (g+offset)/m drives the mapping."""
+        from protosam_tpu.ops.resize import resize_bicubic_torch
+
         m = self.pos_embed_size
         cls_pe = pos_embed[:, :1].astype(jnp.float32)
         patch_pe = pos_embed[:, 1:].astype(jnp.float32)
         if (gh, gw) == (m, m):
             return jnp.concatenate([cls_pe, patch_pe], axis=1)
         grid = patch_pe.reshape(1, m, m, self.embed_dim)
-        grid = jax.image.resize(grid, (1, gh, gw, self.embed_dim),
-                                method="cubic",
-                                antialias=self.interpolate_antialias)
+        grid = jnp.moveaxis(grid, -1, 1)            # NCHW for the resize
+        scales = None
+        if self.interpolate_offset:
+            # torch coordinate scale = 1/scale_factor
+            scales = (m / (gh + self.interpolate_offset),
+                      m / (gw + self.interpolate_offset))
+        grid = resize_bicubic_torch(grid, (gh, gw), scales=scales,
+                                    antialias=self.interpolate_antialias)
+        grid = jnp.moveaxis(grid, 1, -1)
         return jnp.concatenate(
             [cls_pe, grid.reshape(1, gh * gw, self.embed_dim)], axis=1)
 
@@ -165,13 +181,16 @@ _DINO_CONFIGS: dict[str, dict[str, Any]] = {
     "dinov2_vitl14": dict(embed_dim=1024, depth=24, num_heads=16),
     "dinov2_vits14_reg": dict(embed_dim=384, depth=12, num_heads=6,
                               num_register_tokens=4,
-                              interpolate_antialias=True),
+                              interpolate_antialias=True,
+                              interpolate_offset=0.0),
     "dinov2_vitb14_reg": dict(embed_dim=768, depth=12, num_heads=12,
                               num_register_tokens=4,
-                              interpolate_antialias=True),
+                              interpolate_antialias=True,
+                              interpolate_offset=0.0),
     "dinov2_vitl14_reg": dict(embed_dim=1024, depth=24, num_heads=16,
                               num_register_tokens=4,
-                              interpolate_antialias=True),
+                              interpolate_antialias=True,
+                              interpolate_offset=0.0),
     # test-size model for CPU-runnable configs
     "dinov2_vitt14": dict(embed_dim=64, depth=2, num_heads=2),
 }

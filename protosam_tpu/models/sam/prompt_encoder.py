@@ -122,7 +122,9 @@ class PromptEncoder(nn.Module):
         """boxes (B, 4) xyxy -> (B, 2, C) corner embeddings
         (reference _embed_boxes, prompt_encoder.py:93-100)."""
         corners = (boxes.reshape(-1, 2, 2) + 0.5)
-        pe = self._pe_points(corners)
+        # accumulate in f32: the params are f32 and a f32 scatter-add into a
+        # lower-precision pe array is a hard error in future JAX
+        pe = self._pe_points(corners).astype(jnp.float32)
         pe = pe.at[:, 0, :].add(self.point_embeddings[2][0])
         pe = pe.at[:, 1, :].add(self.point_embeddings[3][0])
         return pe.astype(self.dtype)

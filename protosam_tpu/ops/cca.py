@@ -101,7 +101,8 @@ def label_components(mask: jax.Array, max_iters: int = 1024) -> jax.Array:
     def pallas_path(m):
         from protosam_tpu.ops.cca_pallas import label_components_pallas
 
-        return label_components_pallas(m, interpret=False)
+        return label_components_pallas(m, interpret=False,
+                                       max_iters=max_iters)
 
     return jax.lax.platform_dependent(
         mask,

@@ -111,7 +111,7 @@ def _seg_min_axis(lbl, bg_i, axis, size):
     return jnp.where(bg_i > 0, _BIG, jnp.minimum(fwd, bwd))
 
 
-def _kernel(mask_ref, out_ref, iters_ref):
+def _kernel(mask_ref, out_ref, iters_ref, *, max_iters):
     mask = mask_ref[:]
     h, w = mask.shape
     fg_i = (mask > 0).astype(jnp.int32)
@@ -127,7 +127,7 @@ def _kernel(mask_ref, out_ref, iters_ref):
 
     def cond(state):
         _, changed, it = state
-        return jnp.logical_and(changed > 0, it < 64)
+        return jnp.logical_and(changed > 0, it < max_iters)
 
     def body(state):
         lbl, _, it = state
@@ -143,18 +143,19 @@ def _kernel(mask_ref, out_ref, iters_ref):
 
 
 def label_components_pallas(mask: jax.Array,
-                            interpret: bool | None = None) -> jax.Array:
+                            interpret: bool | None = None,
+                            max_iters: int = 1024) -> jax.Array:
     """Root labels like ops/cca.label_components: (H, W) int32, BIG on bg."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    return _call(mask.astype(jnp.int32), interpret)[0]
+    return _call(mask.astype(jnp.int32), interpret, max_iters)[0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _call(mask, interpret):
+@functools.partial(jax.jit, static_argnames=("interpret", "max_iters"))
+def _call(mask, interpret, max_iters=1024):
     h, w = mask.shape
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, max_iters=max_iters),
         out_shape=(jax.ShapeDtypeStruct((h, w), jnp.int32),
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],

@@ -91,6 +91,81 @@ def resize_bicubic_antialias(x: jax.Array, size: tuple[int, int]) -> jax.Array:
     return jax.image.resize(x, _out_shape(x, size), method="cubic", antialias=True)
 
 
+@functools.lru_cache(maxsize=None)
+def _bicubic_weights_np(in_size: int, out_size: int, scale: float | None = None,
+                        antialias: bool = False) -> np.ndarray:
+    """(out, in) interpolation matrix reproducing torch ``F.interpolate``
+    bicubic exactly — including the two facts jax.image.resize gets wrong:
+
+    * torch's non-antialiased bicubic uses the A=-0.75 cubic-convolution
+      kernel (jax's "cubic" is the Keys A=-0.5 kernel), 4 border-clamped
+      taps at ``src = scale*(i+0.5)-0.5``;
+    * torch's antialiased bicubic is the PIL resampler: a=-0.5 kernel,
+      support widened by the scale on downscale, weights renormalized
+      (aten ``_upsample_bicubic2d_aa``).
+
+    ``scale`` is torch's coordinate scale (≈ in/out).  Passing it explicitly
+    reproduces the ``scale_factor=`` call mode, where the GIVEN factor (not
+    out/in) drives the source mapping — DINOv2's ``interpolate_offset=0.1``
+    quirk (hub vision_transformer.py interpolate_pos_encoding) rides on
+    this.  None means size mode: ``scale = in/out``.
+    """
+    if scale is None:
+        scale = in_size / out_size
+    i = np.arange(out_size, dtype=np.float64)
+    w = np.zeros((out_size, in_size), np.float64)
+
+    def cubic(x, A):
+        ax = np.abs(x)
+        return np.where(
+            ax <= 1, ((A + 2) * ax - (A + 3)) * ax * ax + 1,
+            np.where(ax < 2, (((ax - 5) * ax + 8) * ax - 4) * A, 0.0))
+
+    if not antialias:
+        A = -0.75
+        src = scale * (i + 0.5) - 0.5
+        base = np.floor(src).astype(np.int64)
+        t = src - base
+        rows = np.arange(out_size)
+        for d, wt in ((-1, cubic(t + 1, A)), (0, cubic(t, A)),
+                      (1, cubic(1 - t, A)), (2, cubic(2 - t, A))):
+            np.add.at(w, (rows, np.clip(base + d, 0, in_size - 1)), wt)
+    else:
+        a = -0.5
+        support = 2.0 * scale if scale >= 1.0 else 2.0
+        invscale = 1.0 / scale if scale >= 1.0 else 1.0
+        for oi in range(out_size):
+            center = scale * (oi + 0.5)
+            xmin = max(int(center - support + 0.5), 0)
+            xmax = min(int(center + support + 0.5), in_size)
+            taps = np.arange(xmin, xmax, dtype=np.float64)
+            wt = cubic((taps - center + 0.5) * invscale, a)
+            w[oi, xmin:xmax] = wt / wt.sum()
+    return w.astype(np.float32)
+
+
+def resize_bicubic_torch(x: jax.Array, size: tuple[int, int],
+                         scales: tuple[float, float] | None = None,
+                         antialias: bool = False) -> jax.Array:
+    """Torch-exact bicubic resize of the trailing (H, W) dims as two
+    weight-matrix contractions (MXU-friendly; see _bicubic_weights_np).
+
+    ``scales`` are torch coordinate scales (in/out-like) per axis for the
+    scale_factor call mode; None derives them from the sizes.
+    """
+    if x.shape[-2:] == tuple(size):
+        return x
+    h_in, w_in = x.shape[-2], x.shape[-1]
+    sh, sw = scales if scales is not None else (None, None)
+    wr = jnp.asarray(_bicubic_weights_np(h_in, int(size[0]), sh, antialias))
+    wc = jnp.asarray(_bicubic_weights_np(w_in, int(size[1]), sw, antialias))
+    y = jnp.einsum("...hw,jw->...hj", x.astype(jnp.float32), wc,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("...hj,ih->...ij", y, wr,
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
+
 def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:
     """``F.interpolate(x, size, mode='nearest')`` (torch legacy convention).
 

@@ -39,3 +39,19 @@ def test_empty_mask():
     got = np.asarray(label_components_pallas(jnp.zeros((16, 16)),
                                              interpret=True))
     assert (got == 2**30).all()
+
+
+def test_max_iters_threaded():
+    """The fixpoint cap must reach the kernel: a capped run on a
+    slow-converging mask stops early (iters == cap) and yields different
+    labels than the converged run (the old kernel hard-capped at 64 —
+    ADVICE r1)."""
+    from protosam_tpu.ops.cca_pallas import _call
+
+    rng = np.random.default_rng(0)
+    m = jnp.asarray((rng.random((128, 128)) > 0.5).astype(np.int32))
+    lbl_full, it_full = _call(m, True, 1024)
+    lbl_cap, it_cap = _call(m, True, 3)
+    assert int(it_cap[0, 0]) == 3
+    assert int(it_full[0, 0]) > 64  # white noise: beyond the old hard cap
+    assert int(jnp.sum(lbl_full != lbl_cap)) > 0

@@ -55,10 +55,22 @@ def test_block_size_invariance(rng):
     np.testing.assert_allclose(a, bb, atol=1e-5)
 
 
-def test_encoder_flash_matches_chunked(rng):
-    """The flag must not change encoder outputs (interpret mode, grid big
-    enough to trigger the flash path)."""
+def test_encoder_flash_matches_chunked(rng, monkeypatch):
+    """The flag must not change encoder outputs.  The CPU lowering of
+    platform_dependent would silently route BOTH encoders to the chunked
+    branch, so force the flash closure (in interpret mode) for the
+    use_flash_relpos encoder — this genuinely exercises the Pallas kernel
+    inside the encoder wiring."""
+    import protosam_tpu.ops.vitdet_flash as vf
     from protosam_tpu.models.sam.image_encoder import ImageEncoderViT
+
+    orig = vf.flash_attention_relpos
+    monkeypatch.setattr(
+        vf, "flash_attention_relpos",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    monkeypatch.setattr(
+        jax.lax, "platform_dependent",
+        lambda *args, default=None, **branches: default(*args))
 
     kw = dict(img_size=8 * 64, patch_size=8, embed_dim=32, depth=1,
               num_heads=2, out_chans=16, use_rel_pos=True, window_size=14,

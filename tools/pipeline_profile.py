@@ -17,9 +17,12 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(name, f, args_list):
+def timeit(name, f, args_list, warm_args):
+    """warm_args must be DISJOINT from every timed arg set: the axon
+    terminal caches identical executions, so replaying a warm-up input
+    in the timed loop measures a cached no-op."""
     t0 = time.time()
-    jax.block_until_ready(f(*args_list[-1]))
+    jax.block_until_ready(f(*warm_args))
     print(f"{name} compile+first: {time.time() - t0:.0f}s", flush=True)
     t0 = time.time()
     out = None
@@ -53,15 +56,7 @@ def main():
 
     # params via eval_shape + host-side random fill: no init forward pass
     # (a CPU-backend f32 DINOv2-L forward takes tens of minutes)
-    import numpy as np
-
-    def materialize(shapes):
-        rng_np = np.random.default_rng(0)
-        return jax.tree.map(
-            lambda s: jnp.asarray(
-                rng_np.standard_normal(s.shape, np.float32) * 0.02,
-                s.dtype),
-            shapes)
+    from protosam_tpu.utils.synthetic import synthetic_params as materialize
 
     print("eval_shape...", flush=True)
     cp_shapes = jax.eval_shape(
@@ -84,7 +79,10 @@ def main():
             jax.random.PRNGKey(10 + i),
             (slice_batch, 3, image_size, image_size), jnp.float32))
 
-    qs = [(qry_batch(i),) for i in range(3)]
+    # index 0 is the warm-up input for every stage; 1..3 are timed.  The
+    # sets must stay disjoint — the axon terminal caches identical
+    # executions, so a replayed warm-up input times a cached no-op.
+    qs = [(qry_batch(i),) for i in range(4)]
     print("encode support features...", flush=True)
     supp_fts = pipe._jit_supp_fts(cp, supp)
     jax.block_until_ready(supp_fts)
@@ -96,7 +94,7 @@ def main():
     coarse_jit = jax.jit(lambda p, sf, q: pipe.coarse_model.apply(
         {"params": p}, supp, fg, 1 - fg, q, True, 2, supp_fts=sf)["logits"])
     coarse_fn = lambda q: coarse_jit(cp, supp_fts, q)
-    logits = timeit(f"coarse logits b{slice_batch}", coarse_fn, qs)
+    logits = timeit(f"coarse logits b{slice_batch}", coarse_fn, qs[1:], qs[0])
 
     # stage 2: prompt extraction (resize 1024 + CCA + points + preprocess)
     ex_fn = jax.jit(lambda q, lg: jax.vmap(pipe._extract_prompts)(
@@ -104,7 +102,7 @@ def main():
     exs = [(q[0], coarse_fn(q[0])) for q in qs]
     for e in exs:
         jax.block_until_ready(e)
-    ex = timeit(f"extract prompts b{slice_batch}", ex_fn, exs)
+    ex = timeit(f"extract prompts b{slice_batch}", ex_fn, exs[1:], exs[0])
 
     # stage 3: SAM encode
     enc_jit = jax.jit(lambda p, im: pipe.sam_model.apply(
@@ -113,7 +111,7 @@ def main():
     ims = [(ex_fn(*e)["sam_image"],) for e in exs]
     for im in ims:
         jax.block_until_ready(im)
-    emb = timeit(f"sam encode b{slice_batch}", enc_fn, ims)
+    emb = timeit(f"sam encode b{slice_batch}", enc_fn, ims[1:], ims[0])
 
     # stage 4: decode + postprocess
     dec_jit = jax.jit(lambda p, emb, ex: pipe._decode_stage(
@@ -127,12 +125,13 @@ def main():
         dec_args.append((enc_fn(*im), x))
     for d in dec_args:
         jax.block_until_ready(d)
-    timeit(f"decode+post b{slice_batch}", dec_fn, dec_args)
+    timeit(f"decode+post b{slice_batch}", dec_fn, dec_args[1:], dec_args[0])
 
     # fused volume program
     vol_args = [(cp, sp, supp, fg, 1 - fg, q[0], supp_fts, 2) for q in qs]
     timeit(f"fused volume b{slice_batch}",
-           lambda *a: pipe._jit_volume(*a[:7], val_wsize=a[7]), vol_args)
+           lambda *a: pipe._jit_volume(*a[:7], val_wsize=a[7]), vol_args[1:],
+           vol_args[0])
 
 
 if __name__ == "__main__":
