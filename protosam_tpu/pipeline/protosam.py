@@ -274,8 +274,15 @@ class ProtoSAM:
             masks_low = low_res[:, 0].reshape(b, k, *low_res.shape[-2:])
             scores = iou[:, 0].reshape(b, k)
 
-        # postprocess (upstream pip SAM: bilinear to 1024², crop is identity
-        # at square 1024 inputs) then threshold at 0 and OR over components
+        # postprocess: BILINEAR to the SAM frame.  The reference runs TWO sam
+        # packages: ProtoSAM drives the pip predictor (requirements.txt:57
+        # segment-anything==1.0; ProtoSAM.py:8), whose postprocess_masks is
+        # upstream bilinear — while the VENDORED fork it also ships changed
+        # it to nearest (models/segment_anything/modeling/sam.py:154-160) and
+        # backs only SamWrapper.  This pipeline matches the pip path; the
+        # golden harness (tests/test_pipeline_golden.py) restores upstream
+        # bilinear on the mounted fork for the same reason.  Crop is identity
+        # at square inputs; then threshold at 0 and OR over components.
         masks = resize_bilinear(masks_low,
                                 (self.sam_model.image_size,) * 2)
         bin_masks = (masks > 0.0) & valid[:, :, None, None]
