@@ -144,19 +144,85 @@ def main():
                 continue
             raise
 
-    t0 = time.time()
-    preds, scores = pipe.forward_volume(vol, inp, slice_batch=slice_batch)
-    checksum = float(preds.astype(jnp.float32).sum()) + \
-        float(scores.astype(jnp.float32).sum())
-    elapsed = time.time() - t0
+    # median of N distinct volumes (run-to-run variance on the axon
+    # terminal is ±20%; VERDICT r1 #9).  Each volume is fresh so the
+    # terminal's execution cache never hits.
+    n_runs = 1 if smoke else int(os.environ.get("BENCH_RUNS", "3"))
+    feeder = os.environ.get("BENCH_FEEDER") == "1"
+    volume_iter = None
+    if feeder:
+        # drive the volumes from DISK through the host pipeline: on-disk
+        # NIfTI -> native C++ decode + per-slice resize/normalize -> 3-ch
+        # stack -> async device_put, decode of volume i+1 overlapped with
+        # compute on volume i (VolumePrefetcher).  The >50 target is "full
+        # pipeline" (BASELINE.md) — this mode includes host I/O.
+        import tempfile
 
-    value = n_slices / elapsed
+        import numpy as np
+
+        from protosam_tpu.data.nifti import write_nii
+        from protosam_tpu.data.prefetch import VolumePrefetcher
+        from protosam_tpu.native.feeder import (
+            native_available,
+            preprocess_volume_native,
+            read_volume_native,
+        )
+
+        tmpdir = tempfile.mkdtemp(prefix="bench_feeder_")
+        paths = []
+        for i in range(n_runs):
+            # on-disk volumes at the CHAOS-native 256² so the host pipeline
+            # does its real work (decode + 256->input resize + normalize)
+            low = jax.random.normal(jax.random.PRNGKey(100 + i),
+                                    (n_slices, 3, 21, 21), jnp.float32)
+            v = np.asarray(resize_bilinear(low, (256, 256)) * 3.0)[:, 0]
+            p = os.path.join(tmpdir, f"vol{i}.nii")
+            write_nii(v.transpose(1, 2, 0), p)  # (H, W, Z) on disk
+            paths.append(p)
+
+        use_native = native_available()
+
+        def produce(i):
+            if use_native:
+                raw, _ = read_volume_native(paths[i])
+                pre = preprocess_volume_native(raw, image_size, "MR")
+            else:
+                from protosam_tpu.data.nifti import read_nii
+
+                raw = np.asarray(read_nii(paths[i])).transpose(2, 0, 1)
+                m, s = raw.mean(), raw.std() + 1e-6
+                pre = (raw - m) / s  # shape fallback; still (Z, H, W)
+            return np.repeat(pre[:, None], 3, axis=1).astype(np.float32)
+
+        volume_iter = iter(VolumePrefetcher(produce, n_runs, depth=2))
+
+    times = []
+    for i in range(n_runs):
+        if volume_iter is not None:
+            t0 = time.time()
+            v = next(volume_iter)
+        else:
+            v = vol if i == 0 else jax.device_put(
+                smooth_volume(jax.random.PRNGKey(100 + i), n_slices))
+            t0 = time.time()
+        preds, scores = pipe.forward_volume(v, inp, slice_batch=slice_batch)
+        checksum = float(preds.astype(jnp.float32).sum()) + \
+            float(scores.astype(jnp.float32).sum())
+        times.append(time.time() - t0)
+
+    times.sort()
+    med = times[len(times) // 2]
+    value = n_slices / med
+    spread = round((times[-1] - times[0]) / med, 3)
     print(json.dumps({
         "metric": f"slices/sec/chip full-pipeline one-shot inference "
-                  f"({coarse_name}+{sam_ver}, {image_size}px, CHAOS-like volume)",
+                  f"({coarse_name}+{sam_ver}, {image_size}px, "
+                  f"CHAOS-like volume{', disk-fed' if feeder else ''})",
         "value": round(value, 2),
         "unit": "slices/sec/chip",
         "vs_baseline": round(value / 50.0, 3),
+        "n": n_runs,
+        "spread": spread,
     }))
 
 

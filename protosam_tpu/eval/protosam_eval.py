@@ -213,6 +213,7 @@ def run_eval(cfg: Config, pipe: ProtoSAM | None = None,
         # config snapshot per run (the reference's sacred FileStorageObserver
         # records config + sources, config_ssl_upload.py:171-177)
         cfg.save(os.path.join(cfg.log_dir, "config.json"))
+        cfg.snapshot_sources(cfg.log_dir)
         with open(os.path.join(cfg.log_dir, "protosam_eval_result.json"),
                   "w") as f:
             json.dump(result, f, indent=2)

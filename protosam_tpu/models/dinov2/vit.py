@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from protosam_tpu.ops.attention import multi_head_attention
+from protosam_tpu.ops.attention import multi_head_attention_bhsd
 
 import functools
 
@@ -28,8 +28,16 @@ _gelu = functools.partial(nn.gelu, approximate=False)
 
 
 class Attention(nn.Module):
+    """MHA in flash-native (B, heads, S, D) layout: ONE 5-D transpose from
+    the fused qkv projection straight into the kernel layout (the round-1
+    (B, S, H, D) intermediate cost an extra transpose + per-layer pad/slice
+    around the flash call — ~45 ms/batch-8 of pure data formatting)."""
+
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    # tokens beyond this index are sequence padding added once by the
+    # transformer (see DinoVisionTransformer); None = no padding
+    valid_tokens: int | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -37,9 +45,12 @@ class Attention(nn.Module):
         hd = c // self.num_heads
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
-        q, k, v = jnp.moveaxis(qkv, 2, 0)        # each (B, N, H, D)
-        out = multi_head_attention(q, k, v, scale=hd ** -0.5)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out.reshape(b, n, c))
+        qkv = qkv.transpose(2, 0, 3, 1, 4)       # (3, B, H, N, D)
+        out = multi_head_attention_bhsd(qkv[0], qkv[1], qkv[2],
+                                        scale=hd ** -0.5,
+                                        n_valid=self.valid_tokens)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
 class LayerScale(nn.Module):
@@ -56,12 +67,14 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
+    valid_tokens: int | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array):
         c = x.shape[-1]
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        y = Attention(self.num_heads, self.dtype, name="attn")(y)
+        y = Attention(self.num_heads, self.dtype,
+                      valid_tokens=self.valid_tokens, name="attn")(y)
         x = x + LayerScale(self.dtype, name="ls1")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
@@ -128,6 +141,15 @@ class DinoVisionTransformer(nn.Module):
                                    self.embed_dim)),
                  x[:, 1:]], axis=1)
 
+        # pad the token sequence ONCE to a flash-block multiple and mask
+        # padded keys inside attention — round 1 padded/sliced around every
+        # layer's flash call instead (~30 ms/batch-8 at DINOv2-L).  Small
+        # (test-size) sequences skip padding entirely.
+        n_tokens = x.shape[1]
+        n_pad = (-n_tokens) % 512 if n_tokens >= 2048 else 0
+        if n_pad:
+            x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
+
         # one traced block scanned over stacked per-layer params (compile
         # time: 1 block instead of depth blocks)
         block_cls = nn.remat(Block) if self.remat else Block
@@ -138,8 +160,11 @@ class DinoVisionTransformer(nn.Module):
             length=self.depth,
         )
         x, _ = ScannedBlocks(self.num_heads, self.mlp_ratio, self.dtype,
+                             valid_tokens=n_tokens if n_pad else None,
                              name="blocks")(x)
 
+        if n_pad:
+            x = x[:, :n_tokens]
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         r = self.num_register_tokens
         return {

@@ -113,9 +113,11 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     table_rows: int | None = None
     q_chunk_rows: int = 8   # row-chunk size for grids with >= 2048 tokens
-    # fused Pallas flash attention with on-the-fly rel-pos bias for large
-    # grids (ops/vitdet_flash.py); opt-in until hardware-validated
+    # fused Pallas flash attention with on-the-fly rel-pos bias
+    # (ops/vitdet_flash.py): block-q/full-k kernel for global layers,
+    # per-window kernel for windowed layers
     use_flash_relpos: bool = False
+    flash_q_rows: int = 4   # query grid-rows per global-kernel program
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -163,16 +165,30 @@ class Attention(nn.Module):
 
             out = flash_attention_relpos(
                 q, k, v, Rh.astype(jnp.float32), Rw.astype(jnp.float32),
-                (h, w), scale, rows_per_blk=self.q_chunk_rows,
+                (h, w), scale, rows_per_blk=self.flash_q_rows,
                 interpret=False)
             return out.astype(self.dtype).reshape(b, h, w, c)
 
+        def window_flash(q, k, v):
+            from protosam_tpu.ops.vitdet_flash import window_flash_attention
+
+            out = window_flash_attention(
+                q, k, v, Rh.astype(jnp.float32), Rw.astype(jnp.float32),
+                h, scale, interpret=False)
+            return out.astype(self.dtype).reshape(b, h, w, c)
+
         if (self.use_flash_relpos and self.use_rel_pos
-                and h * w >= 2048 and h % self.q_chunk_rows == 0):
+                and h * w >= 2048 and h % self.flash_q_rows == 0):
             # flash on the chip, chunked XLA when lowered for CPU (init /
             # interpret-free tests) — one traced program serves both.
             out = jax.lax.platform_dependent(q, k, v, cpu=chunked,
                                              default=flash)
+        elif self.use_flash_relpos and self.use_rel_pos and h == w:
+            # windowed layers: fused per-window kernel on chip (the XLA
+            # path materializes (windows, heads, S_w, S_w) f32 tensors in
+            # HBM — ~150 ms/batch-8 of the r1 pipeline budget)
+            out = jax.lax.platform_dependent(q, k, v, cpu=chunked,
+                                             default=window_flash)
         else:
             out = chunked(q, k, v)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)

@@ -116,12 +116,16 @@ def _kernel(mask_ref, out_ref, iters_ref, *, max_iters):
     h, w = mask.shape
     fg_i = (mask > 0).astype(jnp.int32)
     bg_i = 1 - fg_i
+    bg_t = bg_i.T
     idx = _row_ids(h, w) * w + _col_ids(h, w)
     lbl = jnp.where(fg_i > 0, idx, _BIG)
 
     def step(lbl):
         x = _neighbor_min(lbl, fg_i)
-        x = _seg_min_axis(x, bg_i, 1, w)
+        # row-direction scan via transpose: the doubling scan's dynamic
+        # rolls are cheap along SUBLANES but serialize along the lane dim —
+        # two 4 MB in-VMEM transposes beat ~20 dynamic lane rotations/iter
+        x = _seg_min_axis(x.T, bg_t, 0, w).T
         x = _seg_min_axis(x, bg_i, 0, h)
         return x
 

@@ -366,12 +366,18 @@ class ProtoSAM:
         return preds, scores
 
     def forward_volume_sharded(self, queries, coarse_model_input: ALPNetInput,
-                               mesh, slice_batch: int | None = None):
+                               mesh, slice_batch: int | None = None,
+                               shard_params: bool = False):
         """Multi-chip volume inference: slices sharded over the mesh 'data'
-        axis, params replicated — XLA partitions the whole slice program
-        (encoders, CCA, prompts, SAM) across chips and inserts the
-        collectives.  The reference has no distributed path at all
-        (SURVEY.md §2.6); the z-stack is embarrassingly parallel.
+        axis — XLA partitions the whole slice program (encoders, CCA,
+        prompts, SAM) across chips and inserts the collectives.  The
+        reference has no distributed path at all (SURVEY.md §2.6); the
+        z-stack is embarrassingly parallel.
+
+        ``shard_params=True`` additionally Megatron-shards both encoders'
+        transformer kernels over the mesh 'model' axis
+        (parallel.encoder_param_sharding) — tensor parallelism on the
+        inference path for models too big to replicate per chip.
 
         queries (N, 3, H, W); N is padded to a multiple of the data-axis
         size.  Returns (preds (N, H, W), scores).
@@ -393,8 +399,18 @@ class ProtoSAM:
         shard = NamedSharding(mesh, P("data"))
         repl = NamedSharding(mesh, P())
         put = functools.partial(jax.device_put, device=repl)
-        args = (jax.device_put(self.coarse_params, repl),
-                jax.device_put(self.sam_params, repl),
+        if shard_params:
+            from protosam_tpu.parallel import encoder_param_sharding
+
+            coarse_p = jax.device_put(
+                self.coarse_params,
+                encoder_param_sharding(self.coarse_params, mesh))
+            sam_p = jax.device_put(
+                self.sam_params, encoder_param_sharding(self.sam_params, mesh))
+        else:
+            coarse_p = jax.device_put(self.coarse_params, repl)
+            sam_p = jax.device_put(self.sam_params, repl)
+        args = (coarse_p, sam_p,
                 put(inp.supp_imgs), put(inp.fore_mask), put(inp.back_mask))
         supp_fts = jax.device_put(supp_fts, repl)
         preds, scores = [], []

@@ -125,6 +125,7 @@ def train(cfg: Config, max_steps: int | None = None) -> dict:
     if cfg.log_dir:
         os.makedirs(cfg.log_dir, exist_ok=True)
         cfg.save(os.path.join(cfg.log_dir, "config.json"))
+        cfg.snapshot_sources(cfg.log_dir)
 
     tb = None
     if cfg.log_dir:

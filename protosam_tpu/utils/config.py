@@ -146,6 +146,34 @@ class Config:
         Path(path).write_text(json.dumps(self.to_dict(), indent=2,
                                          default=str))
 
+    def snapshot_sources(self, log_dir: str | Path):
+        """Sacred-style source capture (reference config_ssl_upload.py:26-30
+        + FileStorageObserver): copy the entry script and record the repo
+        revision into ``<log_dir>/_sources`` so a run is reproducible from
+        its log directory alone."""
+        import shutil
+        import subprocess
+        import sys
+
+        dst = Path(log_dir) / "_sources"
+        dst.mkdir(parents=True, exist_ok=True)
+        main = sys.modules.get("__main__")
+        main_file = getattr(main, "__file__", None)
+        if main_file and Path(main_file).exists():
+            shutil.copy2(main_file, dst / Path(main_file).name)
+        repo = Path(__file__).resolve().parents[2]
+        try:
+            rev = subprocess.run(
+                ["git", "-C", str(repo), "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=10).stdout.strip()
+            dirty = subprocess.run(
+                ["git", "-C", str(repo), "status", "--porcelain"],
+                capture_output=True, text=True, timeout=10).stdout.strip()
+            (dst / "REVISION").write_text(
+                rev + (" (dirty)\n" if dirty else "\n"))
+        except (OSError, subprocess.SubprocessError):
+            pass
+
 
 def parse_overrides(argv: list[str]) -> dict[str, Any]:
     """Parse sacred-style ``with key=value ...`` CLI args (the reference's

@@ -68,6 +68,10 @@ def test_encoder_flash_matches_chunked(rng, monkeypatch):
     monkeypatch.setattr(
         vf, "flash_attention_relpos",
         lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    orig_w = vf.window_flash_attention
+    monkeypatch.setattr(
+        vf, "window_flash_attention",
+        lambda *a, **k: orig_w(*a, **{**k, "interpret": True}))
     monkeypatch.setattr(
         jax.lax, "platform_dependent",
         lambda *args, default=None, **branches: default(*args))
@@ -85,3 +89,39 @@ def test_encoder_flash_matches_chunked(rng, monkeypatch):
     a = np.asarray(base.apply({"params": p}, x))
     b = np.asarray(flash.apply({"params": p}, x))
     np.testing.assert_allclose(a, b, atol=3e-5, rtol=1e-4)
+
+
+def test_window_kernel_matches_einsum_reference(rng):
+    from protosam_tpu.ops.vitdet_flash import window_flash_attention
+
+    win, nw, nh, d = 4, 3, 2, 16
+    s = win * win
+    scale = d ** -0.5
+    q = jnp.asarray(rng.standard_normal((nw, s, nh, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((nw, s, nh, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((nw, s, nh, d)), jnp.float32)
+    Rh = jnp.asarray(rng.standard_normal((win, win, d)) * 0.1, jnp.float32)
+    Rw = jnp.asarray(rng.standard_normal((win, win, d)) * 0.1, jnp.float32)
+
+    want = reference(q, k, v, Rh, Rw, win, win, scale)
+    got = np.asarray(window_flash_attention(q, k, v, Rh, Rw, win, scale,
+                                            interpret=True))
+    np.testing.assert_allclose(got, np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_window_kernel_14(rng):
+    """Production window size (14² = 196 tokens, non-power-of-two)."""
+    from protosam_tpu.ops.vitdet_flash import window_flash_attention
+
+    win, nw, nh, d = 14, 2, 2, 8
+    s = win * win
+    q = jnp.asarray(rng.standard_normal((nw, s, nh, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((nw, s, nh, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((nw, s, nh, d)), jnp.float32)
+    Rh = jnp.asarray(rng.standard_normal((win, win, d)) * 0.1, jnp.float32)
+    Rw = jnp.asarray(rng.standard_normal((win, win, d)) * 0.1, jnp.float32)
+
+    want = reference(q, k, v, Rh, Rw, win, win, 0.3)
+    got = np.asarray(window_flash_attention(q, k, v, Rh, Rw, win, 0.3,
+                                            interpret=True))
+    np.testing.assert_allclose(got, np.asarray(want), atol=2e-5, rtol=1e-4)
