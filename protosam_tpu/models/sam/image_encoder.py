@@ -127,7 +127,11 @@ class Attention(nn.Module):
 
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)  # B,H,W,3C
         qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
-        q, k, v = jnp.moveaxis(qkv, 2, 0)          # each B,HW,heads,hd
+        # ONE transpose into the kernels' heads-first layout (a moveaxis to
+        # (3,B,S,nh,hd) + per-tensor transposes inside the kernels cost
+        # ~2 extra 60 MB copies per layer)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)          # (3, B, nh, S, hd)
+        q, k, v = qkv[0], qkv[1], qkv[2]            # each (B, nh, S, hd)
 
         if self.use_rel_pos:
             rows = self.table_rows or (2 * max(h, w) - 1)
@@ -141,6 +145,10 @@ class Attention(nn.Module):
             Rh = Rw = None
 
         def chunked(q, k, v):
+            # CPU/XLA reference path wants (B, S, heads, hd)
+            q = q.transpose(0, 2, 1, 3)
+            k = k.transpose(0, 2, 1, 3)
+            v = v.transpose(0, 2, 1, 3)
             rq = q.reshape(b, h, w, self.num_heads, head_dim)
             if h * w >= 2048 and h % self.q_chunk_rows == 0:
                 nch = h // self.q_chunk_rows
@@ -166,7 +174,8 @@ class Attention(nn.Module):
             out = flash_attention_relpos(
                 q, k, v, Rh.astype(jnp.float32), Rw.astype(jnp.float32),
                 (h, w), scale, rows_per_blk=self.flash_q_rows,
-                interpret=False)
+                interpret=False, heads_first=True)   # (B, nh, S, hd)
+            out = out.transpose(0, 2, 1, 3)
             return out.astype(self.dtype).reshape(b, h, w, c)
 
         def window_flash(q, k, v):
@@ -174,7 +183,8 @@ class Attention(nn.Module):
 
             out = window_flash_attention(
                 q, k, v, Rh.astype(jnp.float32), Rw.astype(jnp.float32),
-                h, scale, interpret=False)
+                h, scale, interpret=False, heads_first=True)
+            out = out.transpose(0, 2, 1, 3)
             return out.astype(self.dtype).reshape(b, h, w, c)
 
         if (self.use_flash_relpos and self.use_rel_pos

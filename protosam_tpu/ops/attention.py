@@ -83,11 +83,16 @@ def multi_head_attention_bhsd(q: jax.Array, k: jax.Array, v: jax.Array, *,
             ids = (jnp.arange(s_pad) < nv).astype(jnp.int32)[None]
             ids = jnp.broadcast_to(ids, (b, s_pad))
             seg = SegmentIds(q=ids, kv=ids)
+        # block_q = the FULL sequence when the f32 score block fits VMEM:
+        # v5e sweep at DINOv2-L's (8,16,2560,64) measured 137 TF/s for
+        # (2560, 512) blocks vs 68 TF/s for (512, 512)
+        # (tools/bench_dino_flash.py)
+        bq = s_pad if s_pad * block * 4 <= 8 * 1024 * 1024 else block
         bs = BlockSizes(
-            block_q=block, block_k_major=block, block_k=block, block_b=1,
-            block_q_major_dkv=block, block_k_major_dkv=block,
-            block_k_dkv=block, block_q_dkv=block,
-            block_k_major_dq=block, block_k_dq=block, block_q_dq=block,
+            block_q=bq, block_k_major=block, block_k=block, block_b=1,
+            block_q_major_dkv=bq, block_k_major_dkv=block,
+            block_k_dkv=block, block_q_dkv=bq,
+            block_k_major_dq=block, block_k_dq=block, block_q_dq=bq,
         )
         out = flash_attention(q, k, v, segment_ids=seg, sm_scale=scale,
                               block_sizes=bs)

@@ -87,14 +87,30 @@ def _neighbor_min(lbl, fg_i):
     return jnp.where(fg_i > 0, m, _BIG)
 
 
-def _seg_min_axis(lbl, bg_i, axis, size):
+def _seg_min_axis(lbl, bg_i, axis, size, unroll=None):
     """Segmented min along ``axis`` (both directions), log-step doubling.
 
-    fori_loop over the step index with a dynamic roll amount keeps exactly
-    one step's temporaries live in VMEM."""
+    ``unroll=True`` python-unrolls the step loop with STATIC shift
+    amounts — measured on v5e this blows the 128 MB VMEM budget at 1024²
+    (Mosaic keeps every unrolled step's temporaries live: 138 MB), so the
+    default is the fori_loop with dynamic rolls, whose temporaries are
+    allocated once.
+    """
     n_steps = max(1, (size - 1).bit_length())
+    if unroll is None:
+        unroll = False
 
     def direction(v, sign):
+        if unroll:
+            val, blocked = v, bg_i
+            for s in range(n_steps):
+                d = sign * (1 << s)
+                sv = _shift_static(val, *((0, d) if axis else (d, 0)), _BIG)
+                sb = _shift_static(blocked, *((0, d) if axis else (d, 0)), 1)
+                val = jnp.where(blocked > 0, val, jnp.minimum(val, sv))
+                blocked = blocked | sb
+            return val
+
         def step(s, carry):
             val, blocked = carry
             d = jnp.int32(1) << s
@@ -116,16 +132,15 @@ def _kernel(mask_ref, out_ref, iters_ref, *, max_iters):
     h, w = mask.shape
     fg_i = (mask > 0).astype(jnp.int32)
     bg_i = 1 - fg_i
-    bg_t = bg_i.T
     idx = _row_ids(h, w) * w + _col_ids(h, w)
     lbl = jnp.where(fg_i > 0, idx, _BIG)
 
     def step(lbl):
+        # NOTE r2: a transpose+sublane-scan variant for the row direction
+        # (avoiding dynamic lane rotations) measured ~25% SLOWER end-to-end
+        # on v5e — the in-VMEM transposes cost more than the lane rolls.
         x = _neighbor_min(lbl, fg_i)
-        # row-direction scan via transpose: the doubling scan's dynamic
-        # rolls are cheap along SUBLANES but serialize along the lane dim —
-        # two 4 MB in-VMEM transposes beat ~20 dynamic lane rotations/iter
-        x = _seg_min_axis(x.T, bg_t, 0, w).T
+        x = _seg_min_axis(x, bg_i, 1, w)
         x = _seg_min_axis(x, bg_i, 0, h)
         return x
 
