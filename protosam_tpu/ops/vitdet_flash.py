@@ -45,34 +45,24 @@ from jax.experimental.pallas import tpu as pltpu
 # global layers: block-q, full-k
 # ---------------------------------------------------------------------------
 
-def _global_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, out_ref, *,
-                   grid_w, scale):
-    """One (batch*head, q-row-block) program.
+def _aug_kernel(q_ref, k_ref, v_ref, out_ref):
+    """One (batch*head, q-block) program over AUGMENTED operands.
 
-    q_ref: (1, blk, D); k_ref/v_ref: (1, S, D) full;
-    bh_ref: (1, blk, H) compact row bias; bw_ref: (1, blk, W) compact
-    column bias; out_ref: (1, blk, D).
+    The caller folds the decomposed rel-pos bias into the contraction dim:
+    q_aug = [q*scale | bias_h | bias_w], k_aug = [k | sel_h | sel_w] with
+    exact 0/1 selectors, so ONE full-width MXU dot produces
+    scores = <q,k>*scale + bias_h[q, k//W] + bias_w[q, k%W] directly
+    (the selector columns contribute 1.0 * bias + zeros — copies, not
+    approximations).  The contraction dim grows D -> D+H+W (64 -> 192 at
+    SAM's grids), which FILLS the 128-lane MXU instead of running a
+    second expansion matmul.
+
+    q_ref: (1, blk, D+H+W); k_ref: (1, S, D+H+W); v_ref: (1, S, D).
     """
-    w = grid_w
-    d = q_ref.shape[-1]
-    s = k_ref.shape[1]
-    h = s // w
-
-    q = q_ref[0]                                    # (blk, D) input dtype
-    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
-
+    q = q_ref[0]
     scores = lax.dot_general(
-        qs, k_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        q, k_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)         # (blk, S)
-
-    # expand bias_h over key columns: col c -> kh = c // W (exact one-hot)
-    sel_h = (lax.broadcasted_iota(jnp.int32, (h, s), 1) // w ==
-             lax.broadcasted_iota(jnp.int32, (h, s), 0)).astype(jnp.float32)
-    scores = scores + lax.dot_general(
-        bh_ref[0], sel_h, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    # expand bias_w: col c -> kw = c % W (tiling repeat)
-    scores = scores + pltpu.repeat(bw_ref[0], s // w, axis=1)
 
     m = jnp.max(scores, axis=1, keepdims=True)
     p = jnp.exp(scores - m)
@@ -82,6 +72,18 @@ def _global_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, out_ref, *,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     out_ref[0] = (acc / l).astype(out_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _selectors_np(h, w):
+    """(S, H+W) exact 0/1 selector block: col j<H hits keys with k//W == j,
+    col H+j hits keys with k%W == j."""
+    import numpy as np
+
+    k = np.arange(h * w)
+    sel_h = (k[:, None] // w == np.arange(h)[None, :])
+    sel_w = (k[:, None] % w == np.arange(w)[None, :])
+    return np.concatenate([sel_h, sel_w], axis=1).astype(np.float32)
 
 
 def _compact_biases(q, Rh, Rw, h, w):
@@ -123,86 +125,71 @@ def flash_attention_relpos(q: jax.Array, k: jax.Array, v: jax.Array,
 
     qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
     bias_h, bias_w = _compact_biases(qb, Rh, Rw, h, w)
-    out = _call_global(qb, kb, vb, bias_h, bias_w, rows_per_blk, w, scale,
-                       interpret)
+    qs = (qb.astype(jnp.float32) * scale).astype(qb.dtype)
+    q_aug = jnp.concatenate(
+        [qs, bias_h.astype(qb.dtype), bias_w.astype(qb.dtype)], axis=-1)
+    sel = jnp.asarray(_selectors_np(h, w), qb.dtype)
+    k_aug = jnp.concatenate(
+        [kb, jnp.broadcast_to(sel[None], (kb.shape[0],) + sel.shape)],
+        axis=-1)
+    out = _call_global(q_aug, k_aug, vb, rows_per_blk, w, interpret)
     out = out.reshape(b, nh, s, d)
     return out if heads_first else out.transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("rows_per_blk", "grid_w", "scale",
-                                    "interpret"))
-def _call_global(q, k, v, bias_h, bias_w, rows_per_blk, grid_w, scale,
-                 interpret):
-    bh, s, d = q.shape
+                   static_argnames=("rows_per_blk", "grid_w", "interpret"))
+def _call_global(q_aug, k_aug, v, rows_per_blk, grid_w, interpret):
+    bh, s, da = q_aug.shape
+    d = v.shape[-1]
     h = s // grid_w
-    kernel = functools.partial(_global_kernel, grid_w=grid_w, scale=scale)
     blk = rows_per_blk * grid_w
     return pl.pallas_call(
-        kernel,
+        _aug_kernel,
         grid=(bh, h // rows_per_blk),
         in_specs=[
-            pl.BlockSpec((1, blk, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, blk, da), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, da), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, h), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, grid_w), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, blk, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), v.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(q, k, v, bias_h, bias_w)
+    )(q_aug, k_aug, v)
 
 
 # ---------------------------------------------------------------------------
 # windowed layers: one program per window, heads looped inside
 # ---------------------------------------------------------------------------
 
-def _window_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, out_ref, *,
-                   win, heads, scale):
-    """One program per WINDOW, all heads inside (program-call overhead
-    dominated a per-(window, head) grid: 2400 programs at ~2 us each).
+def _window_aug_kernel(q_ref, k_ref, v_ref, out_ref):
+    """One program per (window, head) via a 2-D grid with 4-D block refs
+    (per-head blocks are padded/aligned independently — slicing a fused
+    heads*S_w ref at stride 196 was sublane-misaligned and forced per-head
+    relayout copies).  Operands are bias-AUGMENTED like _aug_kernel:
+    one full-width dot produces scores + decomposed bias exactly.
 
-    q/k/v_ref: (1, heads*S_w, D); bh_ref/bw_ref: (1, heads*S_w, win)
-    compact biases; out_ref like q_ref.
+    q_ref/k_ref: (1, 1, S_w, D+2*win); v_ref: (1, 1, S_w, D).
     """
-    sw = win * win
-    sel_h = (lax.broadcasted_iota(jnp.int32, (win, sw), 1) // win ==
-             lax.broadcasted_iota(jnp.int32, (win, sw), 0)
-             ).astype(jnp.float32)
+    q = q_ref[0, 0]
+    scores = lax.dot_general(
+        q, k_ref[0, 0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (S_w, S_w)
 
-    for hh in range(heads):
-        sl = slice(hh * sw, (hh + 1) * sw)
-        q = q_ref[0, sl, :]                          # (S_w, D)
-        qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
-
-        scores = lax.dot_general(
-            qs, k_ref[0, sl, :],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)      # (S_w, S_w)
-
-        scores = scores + lax.dot_general(
-            bh_ref[0, sl, :], sel_h,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        scores = scores + pltpu.repeat(bw_ref[0, sl, :], sw // win, axis=1)
-
-        m = jnp.max(scores, axis=1, keepdims=True)
-        p = jnp.exp(scores - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        acc = lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, sl, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        out_ref[0, sl, :] = (acc / l).astype(out_ref.dtype)
+    m = jnp.max(scores, axis=1, keepdims=True)
+    p = jnp.exp(scores - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    acc = lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0, 0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[0, 0] = (acc / l).astype(out_ref.dtype)
 
 
 def window_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -226,39 +213,34 @@ def window_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         to_bh = lambda x: x.transpose(0, 2, 1, 3).reshape(nw, nh * sw, d)
     assert sw == win * win
 
-    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+    qb, kb, vb = (x.reshape(nw, nh, sw, d) for x in
+                  (to_bh(q), to_bh(k), to_bh(v)))
     bias_h, bias_w = _compact_biases(
         qb.reshape(nw * nh, sw, d), Rh, Rw, win, win)
-    bias_h = bias_h.reshape(nw, nh * sw, win)
-    bias_w = bias_w.reshape(nw, nh * sw, win)
-    out = _call_window(qb, kb, vb, bias_h, bias_w, win, nh, scale, interpret)
-    out = out.reshape(nw, nh, sw, d)
+    qs = (qb.astype(jnp.float32) * scale).astype(qb.dtype)
+    q_aug = jnp.concatenate(
+        [qs, bias_h.reshape(nw, nh, sw, win).astype(qb.dtype),
+         bias_w.reshape(nw, nh, sw, win).astype(qb.dtype)], axis=-1)
+    sel = jnp.asarray(_selectors_np(win, win), qb.dtype)
+    k_aug = jnp.concatenate(
+        [kb, jnp.broadcast_to(sel[None, None], (nw, nh) + sel.shape)],
+        axis=-1)
+    out = _call_window(q_aug, k_aug, vb, win, interpret)
     return out if heads_first else out.transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("win", "heads", "scale",
-                                             "interpret"))
-def _call_window(q, k, v, bias_h, bias_w, win, heads, scale, interpret):
-    nw, hsw, d = q.shape
-    kernel = functools.partial(_window_kernel, win=win, heads=heads,
-                               scale=scale)
+@functools.partial(jax.jit, static_argnames=("win", "interpret"))
+def _call_window(q_aug, k_aug, v, win, interpret):
+    nw, nh, sw, da = q_aug.shape
+    d = v.shape[-1]
+    spec = lambda last: pl.BlockSpec((1, 1, sw, last),
+                                     lambda i, j: (i, j, 0, 0),
+                                     memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        kernel,
-        grid=(nw,),
-        in_specs=[
-            pl.BlockSpec((1, hsw, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hsw, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hsw, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hsw, win), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hsw, win), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, hsw, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nw, hsw, d), q.dtype),
+        _window_aug_kernel,
+        grid=(nw, nh),
+        in_specs=[spec(da), spec(da), spec(d)],
+        out_specs=spec(d),
+        out_shape=jax.ShapeDtypeStruct((nw, nh, sw, d), v.dtype),
         interpret=interpret,
-    )(q, k, v, bias_h, bias_w)
+    )(q_aug, k_aug, v)

@@ -125,3 +125,54 @@ def test_window_kernel_14(rng):
     got = np.asarray(window_flash_attention(q, k, v, Rh, Rw, win, 0.3,
                                             interpret=True))
     np.testing.assert_allclose(got, np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_window_kernel_vith_head_dim(rng):
+    """ViT-H head geometry: head_dim 80 (non-lane-aligned)."""
+    from protosam_tpu.ops.vitdet_flash import window_flash_attention
+
+    win, nw, nh, d = 4, 2, 2, 80
+    s = win * win
+    q = jnp.asarray(rng.standard_normal((nw, s, nh, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((nw, s, nh, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((nw, s, nh, d)), jnp.float32)
+    Rh = jnp.asarray(rng.standard_normal((win, win, d)) * 0.1, jnp.float32)
+    Rw = jnp.asarray(rng.standard_normal((win, win, d)) * 0.1, jnp.float32)
+
+    want = reference(q, k, v, Rh, Rw, win, win, 0.2)
+    got = np.asarray(window_flash_attention(q, k, v, Rh, Rw, win, 0.2,
+                                            interpret=True))
+    np.testing.assert_allclose(got, np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_heads_first_layout_equivalence(rng):
+    """heads_first=True must equal the (B, S, heads, D) layout exactly."""
+    from protosam_tpu.ops.vitdet_flash import (
+        flash_attention_relpos,
+        window_flash_attention,
+    )
+
+    b, h, w, nh, d = 1, 8, 8, 2, 16
+    s = h * w
+    q = jnp.asarray(rng.standard_normal((b, s, nh, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, nh, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, nh, d)), jnp.float32)
+    Rh = jnp.asarray(rng.standard_normal((h, h, d)) * 0.1, jnp.float32)
+    Rw = jnp.asarray(rng.standard_normal((w, w, d)) * 0.1, jnp.float32)
+
+    base = flash_attention_relpos(q, k, v, Rh, Rw, (h, w), 0.25,
+                                  rows_per_blk=2, interpret=True)
+    hf = flash_attention_relpos(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), Rh, Rw, (h, w), 0.25, rows_per_blk=2,
+        interpret=True, heads_first=True)
+    np.testing.assert_array_equal(np.asarray(base),
+                                  np.asarray(hf.transpose(0, 2, 1, 3)))
+
+    basew = window_flash_attention(q, k, v, Rh, Rw, h, 0.25, interpret=True)
+    hfw = window_flash_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), Rh, Rw, h, 0.25, interpret=True,
+        heads_first=True)
+    np.testing.assert_array_equal(np.asarray(basew),
+                                  np.asarray(hfw.transpose(0, 2, 1, 3)))
