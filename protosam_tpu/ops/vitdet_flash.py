@@ -168,6 +168,26 @@ def _call_global(q_aug, k_aug, v, rows_per_blk, grid_w, interpret):
 # windowed layers: one program per window, heads looped inside
 # ---------------------------------------------------------------------------
 
+def _window_aug_loop_kernel(q_ref, k_ref, v_ref, out_ref, *, heads, sw):
+    """Heads-inside-loop variant of _window_aug_kernel: one program per
+    window, refs (1, heads*S_w, ...) sliced per head (v3's winning grid
+    shape, now with augmented operands)."""
+    for hh in range(heads):
+        sl = slice(hh * sw, (hh + 1) * sw)
+        scores = lax.dot_general(
+            q_ref[0, sl, :], k_ref[0, sl, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        pp = jnp.exp(scores - m)
+        l = jnp.sum(pp, axis=1, keepdims=True)
+        acc = lax.dot_general(
+            pp.astype(v_ref.dtype), v_ref[0, sl, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[0, sl, :] = (acc / l).astype(out_ref.dtype)
+
+
 def _window_aug_kernel(q_ref, k_ref, v_ref, out_ref):
     """One program per (window, head) via a 2-D grid with 4-D block refs
     (per-head blocks are padded/aligned independently — slicing a fused
@@ -196,7 +216,8 @@ def window_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                            Rh: jax.Array, Rw: jax.Array, win: int,
                            scale: float,
                            interpret: bool | None = None,
-                           heads_first: bool = False) -> jax.Array:
+                           heads_first: bool = False,
+                           per_head_grid: bool = False) -> jax.Array:
     """Windowed ViTDet attention, fused.
 
     q/k/v: (NW, S_w, heads, D) with S_w = win**2 — or (NW, heads, S_w, D)
@@ -225,22 +246,39 @@ def window_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     k_aug = jnp.concatenate(
         [kb, jnp.broadcast_to(sel[None, None], (nw, nh) + sel.shape)],
         axis=-1)
-    out = _call_window(q_aug, k_aug, vb, win, interpret)
+    out = _call_window(q_aug, k_aug, vb, win, interpret, per_head_grid)
     return out if heads_first else out.transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("win", "interpret"))
-def _call_window(q_aug, k_aug, v, win, interpret):
+@functools.partial(jax.jit, static_argnames=("win", "interpret",
+                                             "per_head_grid"))
+def _call_window(q_aug, k_aug, v, win, interpret, per_head_grid=False):
     nw, nh, sw, da = q_aug.shape
     d = v.shape[-1]
-    spec = lambda last: pl.BlockSpec((1, 1, sw, last),
-                                     lambda i, j: (i, j, 0, 0),
+    if per_head_grid:
+        spec = lambda last: pl.BlockSpec((1, 1, sw, last),
+                                         lambda i, j: (i, j, 0, 0),
+                                         memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _window_aug_kernel,
+            grid=(nw, nh),
+            in_specs=[spec(da), spec(da), spec(d)],
+            out_specs=spec(d),
+            out_shape=jax.ShapeDtypeStruct((nw, nh, sw, d), v.dtype),
+            interpret=interpret,
+        )(q_aug, k_aug, v)
+
+    fold = lambda x: x.reshape(nw, nh * sw, x.shape[-1])
+    spec = lambda last: pl.BlockSpec((1, nh * sw, last),
+                                     lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _window_aug_kernel,
-        grid=(nw, nh),
+    kernel = functools.partial(_window_aug_loop_kernel, heads=nh, sw=sw)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nw,),
         in_specs=[spec(da), spec(da), spec(d)],
         out_specs=spec(d),
-        out_shape=jax.ShapeDtypeStruct((nw, nh, sw, d), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((nw, nh * sw, d), v.dtype),
         interpret=interpret,
-    )(q_aug, k_aug, v)
+    )(fold(q_aug), fold(k_aug), fold(v))
+    return out.reshape(nw, nh, sw, d)

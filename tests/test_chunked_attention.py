@@ -40,3 +40,25 @@ def test_chunked_equals_full():
     want = want.reshape(b, h, w, c)
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_bhsd_einsum_masking():
+    """multi_head_attention_bhsd with n_valid must equal plain attention
+    on the unpadded sequence (padded keys fully masked, padded queries
+    discarded)."""
+    from protosam_tpu.ops.attention import multi_head_attention_bhsd
+
+    b, nh, s, d, pad = 1, 2, 24, 8, 8
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, nh, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, nh, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, nh, s, d)), jnp.float32)
+
+    base = multi_head_attention_bhsd(q, k, v, scale=0.3, use_flash=False)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    padded = multi_head_attention_bhsd(qp, kp, vp, scale=0.3, n_valid=s,
+                                       use_flash=False)
+    np.testing.assert_allclose(np.asarray(padded[:, :, :s]),
+                               np.asarray(base), atol=1e-6)

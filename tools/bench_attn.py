@@ -96,10 +96,15 @@ def main():
                                 refw.reshape(nwnd, sw, nh, d))))
     print(f"window: maxerr={err:.4f}", flush=True)
     wflops = 2 * 2 * sw * sw * d * nh * nwnd
-    timed("window flash",
+    timed("window flash (heads-loop)",
           lambda q, k, v: window_flash_attention(
               q, k, v, Rhw, Rww, win, scale,
               interpret=False).astype(jnp.float32).sum(),
+          qw, kw, vw, reps=reps, flops=wflops)
+    timed("window flash (per-head grid)",
+          lambda q, k, v: window_flash_attention(
+              q, k, v, Rhw, Rww, win, scale, interpret=False,
+              per_head_grid=True).astype(jnp.float32).sum(),
           qw, kw, vw, reps=reps, flops=wflops)
     timed("window chunked-XLA (old path)",
           lambda q, k, v: _attend(
