@@ -14,20 +14,22 @@ fully on-chip (nothing quadratic ever reaches HBM):
   keys).  One program per window, heads looped inside.
 
 The COMPACT bias factors ``bias_h[q, kh] = <q, Rh[qh, kh]>`` and
-``bias_w[q, kw] = <q, Rw[qw, kw]>`` are precomputed OUTSIDE the kernel as
+``bias_w[q, kw] = <q, Rw[qw, kw]>`` are precomputed OUTSIDE the kernels as
 batched XLA einsums (tiny: S x H and S x W per head, ~3 GFLOP total at
-SAM-B) — computing them in-kernel as per-row small dots serialized the
-MXU and selector-expanded bias_w cost as much as the score matmul itself.
-In-kernel they expand to full key resolution exactly:
+SAM-B), then FOLDED INTO the score contraction: the kernels receive
+``q_aug = [q*scale | bias_h | bias_w]`` and ``k_aug = [k | 0/1 selector
+columns]`` so ONE full-width MXU dot yields scores + bias exactly (the
+selector columns contribute 1.0 * bias + zeros — copies, not
+approximations).  The contraction dim grows D -> D+H+W (64 -> 192 at
+SAM's global grid), which fills the 128-lane MXU instead of running a
+second expansion matmul.
 
-* ``kw = k %% W`` tiles with ``pltpu.repeat`` (pure data movement);
-* ``kh = k // W`` expands with one exact 0/1 selector matmul (each output
-  element is 1.0 * x + zeros — a copy, not an approximation).
-
-A transposed-score variant (keys on sublanes, both expansions as sublane
-broadcasts) measured 1.6-3x SLOWER on v5e — keep lane-major scores.
-Matmul operands stay in the input dtype (bf16 in production) with f32
-accumulation — the same contract as the chunked XLA path's einsums.
+Design notes from the v5e iteration log (ROUND_NOTES.md): in-kernel
+per-row bias dots serialize the MXU; a transposed-score variant (keys on
+sublanes) is 1.6-3x slower; a per-(window,head) 4-D-block grid loses to
+a heads-inside loop.  bf16 production inputs quantize the bias to bf16
+(the f32 path is exact; strict mask agreement is scoped to
+dtype=float32, PARITY.md).
 """
 
 from __future__ import annotations
