@@ -117,7 +117,7 @@ class Attention(nn.Module):
     # (ops/vitdet_flash.py): block-q/full-k kernel for global layers,
     # per-window kernel for windowed layers
     use_flash_relpos: bool = False
-    flash_q_rows: int = 4   # query grid-rows per global-kernel program
+    flash_q_rows: int = 16  # query grid-rows per global-kernel program (v5e sweep)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
