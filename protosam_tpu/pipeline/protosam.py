@@ -325,7 +325,10 @@ class ProtoSAM:
                 sam_params, embs, ex["coords"], ex["labels"], ex["boxes"],
                 ex["valid"], ex["pred"], qrys.shape[-2:],
                 mask_inputs=ex.get("mask_inputs"))
-            return preds, scores, logits
+            # do NOT return the coarse logits: materializing the unused
+            # (N, 2, H, W) f32 output costs ~90 MB/batch-24 of HBM writes
+            # and pins intermediates XLA could otherwise fuse away
+            return preds, scores
 
         return jax.jit(volume, static_argnames=("val_wsize",))
 
@@ -355,7 +358,7 @@ class ProtoSAM:
                 [queries, jnp.repeat(queries[-1:], pad, axis=0)], axis=0)
         preds, scores = [], []
         for i in range(0, queries.shape[0], slice_batch):
-            p, s, _ = self._jit_volume(
+            p, s = self._jit_volume(
                 self.coarse_params, self.sam_params, inp.supp_imgs,
                 inp.fore_mask, inp.back_mask, queries[i:i + slice_batch],
                 supp_fts, inp.val_wsize)
@@ -416,7 +419,7 @@ class ProtoSAM:
         preds, scores = [], []
         for i in range(0, queries.shape[0], batch):
             q = jax.device_put(queries[i:i + batch], shard)
-            p, s, _ = self._jit_volume(*args, q, supp_fts, inp.val_wsize)
+            p, s = self._jit_volume(*args, q, supp_fts, inp.val_wsize)
             preds.append(p)
             scores.append(s)
         return (jnp.concatenate(preds, axis=0)[:n],
