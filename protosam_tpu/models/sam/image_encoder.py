@@ -118,6 +118,8 @@ class Attention(nn.Module):
     # per-window kernel for windowed layers
     use_flash_relpos: bool = False
     flash_q_rows: int = 16  # query grid-rows per global-kernel program (v5e sweep)
+    window_backend: str = "flash"  # "flash" (pallas) | "xla_aug"
+    window_wpp: int = 1  # windows per pallas program
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -179,11 +181,20 @@ class Attention(nn.Module):
             return out.astype(self.dtype).reshape(b, h, w, c)
 
         def window_flash(q, k, v):
-            from protosam_tpu.ops.vitdet_flash import window_flash_attention
+            from protosam_tpu.ops.vitdet_flash import (
+                window_attention_xla_aug,
+                window_flash_attention,
+            )
 
-            out = window_flash_attention(
-                q, k, v, Rh.astype(jnp.float32), Rw.astype(jnp.float32),
-                h, scale, interpret=False, heads_first=True)
+            if self.window_backend == "xla_aug":
+                out = window_attention_xla_aug(
+                    q, k, v, Rh.astype(jnp.float32), Rw.astype(jnp.float32),
+                    h, scale, heads_first=True)
+            else:
+                out = window_flash_attention(
+                    q, k, v, Rh.astype(jnp.float32), Rw.astype(jnp.float32),
+                    h, scale, interpret=False, heads_first=True,
+                    wpp=self.window_wpp)
             out = out.transpose(0, 2, 1, 3)
             return out.astype(self.dtype).reshape(b, h, w, c)
 
@@ -217,12 +228,16 @@ class Block(nn.Module):
     embed_dim: int = 768
     dtype: jnp.dtype = jnp.float32
     use_flash_relpos: bool = False
+    window_backend: str = "flash"
+    window_wpp: int = 1
 
     def setup(self):
         self.norm1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
         self.attn = Attention(self.num_heads, self.use_rel_pos, self.dtype,
                               table_rows=2 * self.grid_size - 1,
-                              use_flash_relpos=self.use_flash_relpos)
+                              use_flash_relpos=self.use_flash_relpos,
+                              window_backend=self.window_backend,
+                              window_wpp=self.window_wpp)
         self.norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
         self.mlp = MLPBlock(int(self.embed_dim * self.mlp_ratio), _gelu,
                             self.dtype)
@@ -266,6 +281,8 @@ class ImageEncoderViT(nn.Module):
     # use_grad_checkpointing flag, image_encoder.py:36, 113-118)
     remat: bool = False
     use_flash_relpos: bool = False
+    window_backend: str = "flash"
+    window_wpp: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -298,6 +315,8 @@ class ImageEncoderViT(nn.Module):
             embed_dim=self.embed_dim,
             dtype=self.dtype,
             use_flash_relpos=self.use_flash_relpos,
+            window_backend=self.window_backend,
+            window_wpp=self.window_wpp,
             name="blocks",
         )(x, is_global)
 

@@ -41,6 +41,8 @@ class Sam(nn.Module):
     # (ops/vitdet_flash.py, 2.9x over chunked XLA on v5e); lowering for CPU
     # falls back to the chunked path via jax.lax.platform_dependent.
     use_flash_relpos: bool = True
+    window_backend: str = "flash"  # "flash" (pallas) | "xla_aug"
+    window_wpp: int = 1
 
     def setup(self):
         grid = self.image_size // self.vit_patch_size
@@ -56,6 +58,8 @@ class Sam(nn.Module):
             use_rel_pos=True,
             dtype=self.dtype,
             use_flash_relpos=self.use_flash_relpos,
+            window_backend=self.window_backend,
+            window_wpp=self.window_wpp,
         )
         self.prompt_encoder = PromptEncoder(
             embed_dim=self.prompt_embed_dim,

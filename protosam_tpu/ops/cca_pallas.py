@@ -127,7 +127,49 @@ def _seg_min_axis(lbl, bg_i, axis, size, unroll=None):
     return jnp.where(bg_i > 0, _BIG, jnp.minimum(fwd, bwd))
 
 
-def _kernel(mask_ref, out_ref, iters_ref, *, max_iters):
+def _neighbor_min_sep(lbl, fg_i):
+    """Separable 3×3 min: row-direction min then column-direction min of
+    the row result — 4 shifts instead of the 12 composed diagonal shifts."""
+    r = jnp.minimum(lbl, _shift_static(lbl, 0, 1, _BIG))
+    r = jnp.minimum(r, _shift_static(lbl, 0, -1, _BIG))
+    m = jnp.minimum(r, _shift_static(r, 1, 0, _BIG))
+    m = jnp.minimum(m, _shift_static(r, -1, 0, _BIG))
+    return jnp.where(fg_i > 0, m, _BIG)
+
+
+def _seg_min_scratch(v, bg_i, axis, size, va, vb, ba, bb):
+    """Segmented min along ``axis`` with STATIC shift amounts, ping-ponging
+    val/blocked state through VMEM scratch refs.
+
+    The python-unrolled *value* form kept every step's temporaries live
+    (138 MB at 1024² — VMEM OOM); committing each step to a scratch ref
+    bounds liveness at 4 grids while keeping the cheap static lane/sublane
+    rolls (the fori_loop form's dynamic rotates are the kernel's main
+    cost)."""
+    n_steps = max(1, (size - 1).bit_length())
+
+    def direction(sign):
+        va[:] = v
+        ba[:] = bg_i
+        for s in range(n_steps):
+            src_v, src_b, dst_v, dst_b = (
+                (va, ba, vb, bb) if s % 2 == 0 else (vb, bb, va, ba))
+            d = sign * (1 << s)
+            off = (0, d) if axis == 1 else (d, 0)
+            sval, sblk = src_v[:], src_b[:]
+            sv = _shift_static(sval, *off, _BIG)
+            sb = _shift_static(sblk, *off, 1)
+            dst_v[:] = jnp.where(sblk > 0, sval, jnp.minimum(sval, sv))
+            dst_b[:] = sblk | sb
+        return (va if n_steps % 2 == 0 else vb)[:]
+
+    fwd = direction(1)
+    bwd = direction(-1)
+    return jnp.where(bg_i > 0, _BIG, jnp.minimum(fwd, bwd))
+
+
+def _kernel(mask_ref, out_ref, iters_ref, *scratch, max_iters,
+            use_scratch=False):
     mask = mask_ref[:]
     h, w = mask.shape
     fg_i = (mask > 0).astype(jnp.int32)
@@ -139,6 +181,11 @@ def _kernel(mask_ref, out_ref, iters_ref, *, max_iters):
         # NOTE r2: a transpose+sublane-scan variant for the row direction
         # (avoiding dynamic lane rotations) measured ~25% SLOWER end-to-end
         # on v5e — the in-VMEM transposes cost more than the lane rolls.
+        if use_scratch:
+            x = _neighbor_min_sep(lbl, fg_i)
+            x = _seg_min_scratch(x, bg_i, 1, w, *scratch)
+            x = _seg_min_scratch(x, bg_i, 0, h, *scratch)
+            return x
         x = _neighbor_min(lbl, fg_i)
         x = _seg_min_axis(x, bg_i, 1, w)
         x = _seg_min_axis(x, bg_i, 0, h)
@@ -163,23 +210,33 @@ def _kernel(mask_ref, out_ref, iters_ref, *, max_iters):
 
 def label_components_pallas(mask: jax.Array,
                             interpret: bool | None = None,
-                            max_iters: int = 1024) -> jax.Array:
-    """Root labels like ops/cca.label_components: (H, W) int32, BIG on bg."""
+                            max_iters: int = 1024,
+                            use_scratch: bool = True) -> jax.Array:
+    """Root labels like ops/cca.label_components: (H, W) int32, BIG on bg.
+
+    ``use_scratch`` selects the static-shift scratch-ref scans (default;
+    measured 3.3x over the dynamic-roll fori_loop form on v5e at 1024²);
+    ``False`` keeps the dynamic-roll variant for A/B comparison.
+    """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    return _call(mask.astype(jnp.int32), interpret, max_iters)[0]
+    return _call(mask.astype(jnp.int32), interpret, max_iters, use_scratch)[0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "max_iters"))
-def _call(mask, interpret, max_iters=1024):
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "max_iters", "use_scratch"))
+def _call(mask, interpret, max_iters=1024, use_scratch=True):
     h, w = mask.shape
+    scratch = ([pltpu.VMEM((h, w), jnp.int32)] * 4) if use_scratch else []
     return pl.pallas_call(
-        functools.partial(_kernel, max_iters=max_iters),
+        functools.partial(_kernel, max_iters=max_iters,
+                          use_scratch=use_scratch),
         out_shape=(jax.ShapeDtypeStruct((h, w), jnp.int32),
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=scratch,
         # ~10 full-grid int32 temporaries are live across the fixpoint
         # loop; the default 16 MB scoped-vmem stack is too small at 1024².
         compiler_params=pltpu.CompilerParams(

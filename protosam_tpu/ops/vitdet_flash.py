@@ -172,8 +172,9 @@ def _call_global(q_aug, k_aug, v, rows_per_blk, grid_w, interpret):
 
 def _window_aug_loop_kernel(q_ref, k_ref, v_ref, out_ref, *, heads, sw):
     """Heads-inside-loop variant of _window_aug_kernel: one program per
-    window, refs (1, heads*S_w, ...) sliced per head (v3's winning grid
-    shape, now with augmented operands)."""
+    ``wpp`` windows, refs (1, wpp*heads*S_w, ...) sliced per (window, head)
+    (v3's winning grid shape, now with augmented operands; ``heads`` here
+    is wpp*true_heads)."""
     for hh in range(heads):
         sl = slice(hh * sw, (hh + 1) * sw)
         scores = lax.dot_general(
@@ -219,8 +220,11 @@ def window_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                            scale: float,
                            interpret: bool | None = None,
                            heads_first: bool = False,
-                           per_head_grid: bool = False) -> jax.Array:
-    """Windowed ViTDet attention, fused.
+                           per_head_grid: bool = False,
+                           wpp: int = 1) -> jax.Array:
+    """Windowed ViTDet attention, fused.  ``wpp`` = windows per program
+    (must divide NW); >1 amortizes per-program overhead across more small
+    dots.
 
     q/k/v: (NW, S_w, heads, D) with S_w = win**2 — or (NW, heads, S_w, D)
     with ``heads_first=True`` (transpose-free kernel batch reshape).
@@ -248,15 +252,72 @@ def window_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     k_aug = jnp.concatenate(
         [kb, jnp.broadcast_to(sel[None, None], (nw, nh) + sel.shape)],
         axis=-1)
-    out = _call_window(q_aug, k_aug, vb, win, interpret, per_head_grid)
+    out = _call_window(q_aug, k_aug, vb, win, interpret, per_head_grid,
+                       wpp=wpp)
+    return out if heads_first else out.transpose(0, 2, 1, 3)
+
+
+def window_attention_xla_aug(q: jax.Array, k: jax.Array, v: jax.Array,
+                             Rh: jax.Array, Rw: jax.Array, win: int,
+                             scale: float,
+                             heads_first: bool = False) -> jax.Array:
+    """Windowed attention as plain XLA batched matmuls over the AUGMENTED
+    operands (no Pallas).  The per-window dots are small (196 x 92 x 196),
+    so 2400 of them serialize a hand-written kernel's MXU; XLA's batched
+    GEMM pipelines them instead, and the bias rides the contraction exactly
+    like the kernel path — scores exist only as one bf16 batched
+    intermediate, never the reference's f32 5-D broadcast sum
+    (image_encoder.py:336-372)."""
+    if heads_first:
+        nw, nh, sw, d = q.shape
+        to_b = lambda x: x
+    else:
+        nw, sw, nh, d = q.shape
+        to_b = lambda x: x.transpose(0, 2, 1, 3)
+    assert sw == win * win
+    qb, kb, vb = to_b(q), to_b(k), to_b(v)        # (NW, H, S_w, D)
+    bias_h, bias_w = _compact_biases(
+        qb.reshape(nw * nh, sw, d), Rh, Rw, win, win)
+    qs = (qb.astype(jnp.float32) * scale).astype(qb.dtype)
+    q_aug = jnp.concatenate(
+        [qs, bias_h.reshape(nw, nh, sw, win).astype(qb.dtype),
+         bias_w.reshape(nw, nh, sw, win).astype(qb.dtype)], axis=-1)
+    sel = jnp.asarray(_selectors_np(win, win), qb.dtype)
+    k_aug = jnp.concatenate(
+        [kb, jnp.broadcast_to(sel[None, None], (nw, nh) + sel.shape)],
+        axis=-1)
+    scores = jnp.einsum("whqc,whkc->whqk", q_aug, k_aug,
+                        preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(scores, axis=-1).astype(vb.dtype)
+    out = jnp.einsum("whqk,whkd->whqd", p, vb,
+                     preferred_element_type=jnp.float32).astype(vb.dtype)
     return out if heads_first else out.transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("win", "interpret",
-                                             "per_head_grid"))
-def _call_window(q_aug, k_aug, v, win, interpret, per_head_grid=False):
+                                             "per_head_grid", "wpp"))
+def _call_window(q_aug, k_aug, v, win, interpret, per_head_grid=False,
+                 wpp=1):
     nw, nh, sw, da = q_aug.shape
     d = v.shape[-1]
+    if wpp > 1:
+        assert nw % wpp == 0 and not per_head_grid
+        fold2 = lambda x: x.reshape(nw // wpp, wpp * nh * sw, x.shape[-1])
+        spec2 = lambda last: pl.BlockSpec((1, wpp * nh * sw, last),
+                                          lambda i: (i, 0, 0),
+                                          memory_space=pltpu.VMEM)
+        kernel = functools.partial(_window_aug_loop_kernel,
+                                   heads=wpp * nh, sw=sw)
+        out = pl.pallas_call(
+            kernel,
+            grid=(nw // wpp,),
+            in_specs=[spec2(da), spec2(da), spec2(d)],
+            out_specs=spec2(d),
+            out_shape=jax.ShapeDtypeStruct((nw // wpp, wpp * nh * sw, d),
+                                           v.dtype),
+            interpret=interpret,
+        )(fold2(q_aug), fold2(k_aug), fold2(v))
+        return out.reshape(nw, nh, sw, d)
     if per_head_grid:
         spec = lambda last: pl.BlockSpec((1, 1, sw, last),
                                          lambda i, j: (i, j, 0, 0),

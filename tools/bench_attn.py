@@ -101,11 +101,22 @@ def main():
               q, k, v, Rhw, Rww, win, scale,
               interpret=False).astype(jnp.float32).sum(),
           qw, kw, vw, reps=reps, flops=wflops)
-    timed("window flash (per-head grid)",
-          lambda q, k, v: window_flash_attention(
-              q, k, v, Rhw, Rww, win, scale, interpret=False,
-              per_head_grid=True).astype(jnp.float32).sum(),
+    from protosam_tpu.ops.vitdet_flash import window_attention_xla_aug
+
+    gotx = window_attention_xla_aug(qw, kw, vw, Rhw, Rww, win, scale)
+    err = float(jnp.max(jnp.abs(gotx.astype(jnp.float32) -
+                                refw.reshape(nwnd, sw, nh, d))))
+    print(f"window xla-aug: maxerr={err:.4f}", flush=True)
+    timed("window XLA-aug (no pallas)",
+          lambda q, k, v: window_attention_xla_aug(
+              q, k, v, Rhw, Rww, win, scale).astype(jnp.float32).sum(),
           qw, kw, vw, reps=reps, flops=wflops)
+    for wpp in (8, 25):
+        timed(f"window flash wpp={wpp}",
+              lambda q, k, v: window_flash_attention(
+                  q, k, v, Rhw, Rww, win, scale, interpret=False,
+                  wpp=wpp).astype(jnp.float32).sum(),
+              qw, kw, vw, reps=reps, flops=wflops)
     timed("window chunked-XLA (old path)",
           lambda q, k, v: _attend(
               q.reshape(nwnd, win, win, nh, d), k, v, Rhw, Rww, nh, scale,
