@@ -11,17 +11,20 @@ from protosam_tpu.ops.cca_pallas import label_components_pallas
 from tests.test_cca_prompts import random_blobs
 
 
+@pytest.mark.parametrize("use_scratch", [True, False])
 @pytest.mark.parametrize("seed", range(3))
-def test_matches_xla_path(seed):
+def test_matches_xla_path(seed, use_scratch):
     rng = np.random.default_rng(seed)
     mask = random_blobs(rng, 64, 64, n=3, r=7)
     want = np.asarray(label_components(jnp.asarray(mask)))
     got = np.asarray(label_components_pallas(jnp.asarray(mask),
-                                             interpret=True))
+                                             interpret=True,
+                                             use_scratch=use_scratch))
     np.testing.assert_array_equal(got, want)
 
 
-def test_snake_converges():
+@pytest.mark.parametrize("use_scratch", [True, False])
+def test_snake_converges(use_scratch):
     mask = np.zeros((32, 32), np.uint8)
     for r in range(0, 32, 4):
         mask[r, :] = 1
@@ -31,7 +34,8 @@ def test_snake_converges():
             mask[r:r + 5, 0] = 1
     want = np.asarray(label_components(jnp.asarray(mask)))
     got = np.asarray(label_components_pallas(jnp.asarray(mask),
-                                             interpret=True))
+                                             interpret=True,
+                                             use_scratch=use_scratch))
     np.testing.assert_array_equal(got, want)
 
 

@@ -176,3 +176,36 @@ def test_heads_first_layout_equivalence(rng):
         heads_first=True)
     np.testing.assert_array_equal(np.asarray(basew),
                                   np.asarray(hfw.transpose(0, 2, 1, 3)))
+
+
+def test_window_variants_match(rng):
+    """wpp>1 (multi-window programs) and the XLA-aug (no-pallas) backend
+    must match the per-window kernel exactly / to fp tolerance."""
+    from protosam_tpu.ops.vitdet_flash import (
+        window_attention_xla_aug,
+        window_flash_attention,
+    )
+
+    win, nw, nh, d = 4, 6, 2, 16
+    s = win * win
+    scale = d ** -0.5
+    q = jnp.asarray(rng.standard_normal((nw, s, nh, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((nw, s, nh, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((nw, s, nh, d)), jnp.float32)
+    Rh = jnp.asarray(rng.standard_normal((win, win, d)) * 0.1, jnp.float32)
+    Rw = jnp.asarray(rng.standard_normal((win, win, d)) * 0.1, jnp.float32)
+
+    want = np.asarray(reference(q, k, v, Rh, Rw, win, win, scale))
+    for wpp in (2, 3, 6):
+        got = np.asarray(window_flash_attention(
+            q, k, v, Rh, Rw, win, scale, interpret=True, wpp=wpp))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+    got = np.asarray(window_attention_xla_aug(q, k, v, Rh, Rw, win, scale))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    # heads-first layout round-trips identically
+    qh, kh, vh = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    got_hf = np.asarray(window_attention_xla_aug(
+        qh, kh, vh, Rh, Rw, win, scale, heads_first=True))
+    np.testing.assert_allclose(got_hf.transpose(0, 2, 1, 3), want,
+                               atol=2e-5, rtol=1e-4)

@@ -24,13 +24,26 @@ def make_masks(k, side=1024, seed=0):
     rng = np.random.default_rng(seed)
     masks = []
     for i in range(k):
-        coarse = rng.standard_normal((16, 16))
-        up = np.kron(coarse, np.ones((side // 16, side // 16)))
-        # cheap smoothing: two box passes
-        for _ in range(2):
-            up = (np.roll(up, 1, 0) + np.roll(up, -1, 0) +
-                  np.roll(up, 1, 1) + np.roll(up, -1, 1) + up) / 5
-        masks.append((up > np.quantile(up, 0.8)).astype(np.int32))
+        kind = i % 3
+        if kind == 0:  # anatomy-like smooth blobs
+            coarse = rng.standard_normal((16, 16))
+            up = np.kron(coarse, np.ones((side // 16, side // 16)))
+            for _ in range(2):
+                up = (np.roll(up, 1, 0) + np.roll(up, -1, 0) +
+                      np.roll(up, 1, 1) + np.roll(up, -1, 1) + up) / 5
+            m = (up > np.quantile(up, 0.8)).astype(np.int32)
+        elif kind == 1:  # serpentine: worst case for the fixpoint
+            m = np.zeros((side, side), np.int32)
+            for r in range(8, side - 8, 16):
+                m[r:r + 8, 8:side - 8] = 1
+            for j, r in enumerate(range(8, side - 24, 16)):
+                if j % 2 == 0:
+                    m[r:r + 24, side - 16:side - 8] = 1
+                else:
+                    m[r:r + 24, 8:16] = 1
+        else:  # speckle noise: many tiny components
+            m = (rng.random((side, side)) > 0.7).astype(np.int32)
+        masks.append(m)
     return np.stack(masks)
 
 
@@ -51,27 +64,27 @@ def bench(name, fn, masks, reps_outer=3):
     best = 1e9
     for r in range(reps_outer):
         t0 = time.time(); float(prog(masks, jnp.int32(r)))
-        best = min(best, (time.time() - t0 - 0.05) / masks.shape[0] * 1000)
-    print(f"{name}: {best:.2f} ms/mask (compile {comp:.0f}s)", flush=True)
+        best = min(best, time.time() - t0)
+    print(f"{name}: {(best - 0.05) / masks.shape[0] * 1000:.2f} ms/mask "
+          f"(wall {best * 1000:.0f} ms / {masks.shape[0]}, compile {comp:.0f}s)",
+          flush=True)
 
 
 def main():
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    from protosam_tpu.ops.cca import _label_components_xla
     from protosam_tpu.ops.cca_pallas import label_components_pallas
 
     print("devices:", jax.devices(), flush=True)
     masks = make_masks(k)
     jm = jnp.asarray(masks)
 
-    # numerics: chip kernel vs CPU XLA on 2 masks
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        ref0 = np.asarray(_label_components_xla(jnp.asarray(masks[0])))
-    for use_scratch in (True, False):
-        got = np.asarray(label_components_pallas(
-            jm[0], interpret=False, use_scratch=use_scratch))
-        print(f"scratch={use_scratch}: equal={np.array_equal(got, ref0)}",
-              flush=True)
+    # numerics: the two chip variants must agree exactly (each is
+    # separately bit-checked vs the XLA path in tests + tpu_suite)
+    a = np.asarray(label_components_pallas(jm[1], interpret=False,
+                                           use_scratch=True))
+    b = np.asarray(label_components_pallas(jm[1], interpret=False,
+                                           use_scratch=False))
+    print("variants equal on serpentine:", np.array_equal(a, b), flush=True)
 
     bench("scratch static-shift", lambda m: label_components_pallas(
         m, interpret=False, use_scratch=True), jm)
