@@ -315,6 +315,8 @@ def _call_window(q_aug, k_aug, v, win, interpret, per_head_grid=False,
             out_specs=spec2(d),
             out_shape=jax.ShapeDtypeStruct((nw // wpp, wpp * nh * sw, d),
                                            v.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(fold2(q_aug), fold2(k_aug), fold2(v))
         return out.reshape(nw, nh, sw, d)

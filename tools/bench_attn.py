@@ -111,7 +111,7 @@ def main():
           lambda q, k, v: window_attention_xla_aug(
               q, k, v, Rhw, Rww, win, scale).astype(jnp.float32).sum(),
           qw, kw, vw, reps=reps, flops=wflops)
-    for wpp in (8, 25):
+    for wpp in (2, 4):
         timed(f"window flash wpp={wpp}",
               lambda q, k, v: window_flash_attention(
                   q, k, v, Rhw, Rww, win, scale, interpret=False,
