@@ -146,7 +146,10 @@ class DinoVisionTransformer(nn.Module):
         # layer's flash call instead (~30 ms/batch-8 at DINOv2-L).  Small
         # (test-size) sequences skip padding entirely.
         n_tokens = x.shape[1]
-        n_pad = (-n_tokens) % 512 if n_tokens >= 2048 else 0
+        # 128-lane multiple: the masked one-pass kernel has no 512-block
+        # constraint (the old stock-flash path padded to 512s — 2560 vs
+        # 2432 at 672px taxed every dense matmul ~5%)
+        n_pad = (-n_tokens) % 128 if n_tokens >= 2048 else 0
         if n_pad:
             x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
 

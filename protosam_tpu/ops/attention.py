@@ -2,15 +2,105 @@
 
 The encoders' unmasked softmax attention materializes (B, H, S, S) matrices
 under plain XLA — at DINOv2-L's 2305 tokens that is ~170 MB/layer/image of
-HBM traffic, the dominant pipeline cost.  On TPU we route to the Pallas
-flash-attention kernel (jax.experimental.pallas.ops.tpu.flash_attention),
-padding the sequence to a block multiple with segment-id masking.
+HBM traffic, the dominant pipeline cost.  On TPU we route to a purpose-built
+one-pass Pallas kernel: one program handles a block of query rows against
+the FULL key set (the f32 score block lives in VMEM), with key padding
+masked by an in-kernel iota compare.
+
+History: r1-r2 used the stock pallas flash_attention with SegmentIds for
+the pad mask; the r2 device trace showed the segment-id path costs 2.6x
+(3.29 ms/layer vs 1.27 unmasked at DINOv2-L's (8,16,2560,64) on v5e), so
+the masked one-pass kernel below replaced it — same shape as the proven
+ViTDet global kernel (ops/vitdet_flash._aug_kernel, ~87 TF/s).
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _masked_kernel(q_ref, k_ref, v_ref, out_ref, *, scale, n_valid):
+    """One (batch*head, q-block) program: scores = <q,k> * scale with key
+    columns >= n_valid masked to -inf BEFORE the one-pass softmax.
+
+    q_ref: (1, blk, D); k_ref/v_ref: (1, S, D); out_ref: (1, blk, D).
+    """
+    scores = lax.dot_general(
+        q_ref[0], k_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (blk, S)
+    scores = scores * scale
+    if n_valid is not None:
+        cols = lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(cols >= n_valid, -jnp.inf, scores)
+    m = jnp.max(scores, axis=1, keepdims=True)
+    p = jnp.exp(scores - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    acc = lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[0] = (acc / l).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "n_valid", "blk_q",
+                                             "interpret"))
+def _masked_flash(q, k, v, scale, n_valid, blk_q, interpret):
+    b, nh, s, d = q.shape
+    fold = lambda x: x.reshape(b * nh, s, d)
+    out = pl.pallas_call(
+        functools.partial(_masked_kernel, scale=scale, n_valid=n_valid),
+        grid=(b * nh, s // blk_q),
+        in_specs=[
+            pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * nh, s, d), v.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(fold(q), fold(k), fold(v))
+    return out.reshape(b, nh, s, d)
+
+
+def masked_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                           scale: float, n_valid: int | None = None,
+                           blk_q: int | None = None,
+                           interpret: bool | None = None) -> jax.Array:
+    """One-pass masked flash MHA.  q/k/v: (B, H, S, D); S must be a
+    multiple of ``blk_q`` (callers pad once before the layer stack); keys
+    at index >= ``n_valid`` are excluded from the softmax.
+
+    ``blk_q=None`` auto-selects: the FULL sequence when the f32 score
+    block fits comfortably in VMEM (v5e sweep at DINOv2-L 672px:
+    S=2432 full-seq 0.99 ms/layer-batch8 vs 1.51 at 128-row blocks and
+    1.33 for the stock segid kernel at S=2560), else 512/128-row blocks."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    s = q.shape[2]
+    if blk_q is None:
+        if s * s * 4 <= 26 * 1024 * 1024:
+            blk_q = s
+        elif s % 512 == 0:
+            blk_q = 512
+        else:
+            blk_q = 128
+    if s % blk_q:
+        blk_q = 128 if s % 128 == 0 else s
+    if n_valid is not None and n_valid >= s:
+        n_valid = None
+    return _masked_flash(q, k, v, float(scale), n_valid, blk_q, interpret)
 
 
 def multi_head_attention_bhsd(q: jax.Array, k: jax.Array, v: jax.Array, *,
@@ -21,8 +111,9 @@ def multi_head_attention_bhsd(q: jax.Array, k: jax.Array, v: jax.Array, *,
     ``n_valid``: tokens at index >= n_valid are sequence PADDING (the
     caller pads once before the layer stack instead of per-layer —
     attention must mask the padded keys; padded query rows produce junk
-    that the caller slices off).  The einsum path masks with -inf; the
-    flash path uses segment ids.  S should be a flash block multiple.
+    that the caller slices off).  Both paths mask with -inf before the
+    softmax.  S should be a multiple of the 512 query block (the kernel
+    falls back to 128-row blocks otherwise).
     """
     if n_valid is not None and n_valid >= q.shape[2]:
         n_valid = None
@@ -38,39 +129,8 @@ def multi_head_attention_bhsd(q: jax.Array, k: jax.Array, v: jax.Array, *,
                           preferred_element_type=jnp.float32).astype(q.dtype)
 
     def flash_path(q, k, v):
-        from jax.experimental.pallas.ops.tpu.flash_attention import (
-            BlockSizes,
-            SegmentIds,
-            flash_attention,
-        )
-
-        b, nh, s, d = q.shape
-        block = 512 if s >= 512 else 128
-        s_pad = -(-s // block) * block
-        nv = n_valid if n_valid is not None else s
-        if s_pad != s:
-            # caller didn't pre-pad (small/irregular sequences): pad here
-            widths = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
-            q, k, v = (jnp.pad(t, widths) for t in (q, k, v))
-        seg = None
-        if nv < s_pad:
-            ids = (jnp.arange(s_pad) < nv).astype(jnp.int32)[None]
-            ids = jnp.broadcast_to(ids, (b, s_pad))
-            seg = SegmentIds(q=ids, kv=ids)
-        # block_q = the FULL sequence when the f32 score block fits VMEM:
-        # v5e sweep at DINOv2-L's (8,16,2560,64) measured 137 TF/s for
-        # (2560, 512) blocks vs 68 TF/s for (512, 512)
-        # (tools/bench_dino_flash.py)
-        bq = s_pad if s_pad * block * 4 <= 8 * 1024 * 1024 else block
-        bs = BlockSizes(
-            block_q=bq, block_k_major=block, block_k=block, block_b=1,
-            block_q_major_dkv=bq, block_k_major_dkv=block,
-            block_k_dkv=block, block_q_dkv=bq,
-            block_k_major_dq=block, block_k_dq=block, block_q_dq=bq,
-        )
-        out = flash_attention(q, k, v, segment_ids=seg, sm_scale=scale,
-                              block_sizes=bs)
-        return out[:, :, :s].astype(q.dtype)
+        return masked_flash_attention(q, k, v, scale=scale, n_valid=n_valid,
+                                      interpret=False)
 
     if use_flash == "auto":
         return jax.lax.platform_dependent(q, k, v, cpu=einsum_path,

@@ -62,3 +62,31 @@ def test_bhsd_einsum_masking():
                                        use_flash=False)
     np.testing.assert_allclose(np.asarray(padded[:, :, :s]),
                                np.asarray(base), atol=1e-6)
+
+
+def test_masked_flash_kernel_matches_einsum():
+    """The one-pass masked flash kernel (interpret) vs the einsum path,
+    with and without key padding, at several query block sizes."""
+    from protosam_tpu.ops.attention import (
+        masked_flash_attention,
+        multi_head_attention_bhsd,
+    )
+
+    b, nh, s, d = 2, 3, 256, 16
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((b, nh, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, nh, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, nh, s, d)), jnp.float32)
+
+    for n_valid in (None, 200):
+        want = np.asarray(multi_head_attention_bhsd(
+            q, k, v, scale=0.25, n_valid=n_valid, use_flash=False))
+        for blk in (64, 128, 256):
+            got = np.asarray(masked_flash_attention(
+                q, k, v, scale=0.25, n_valid=n_valid, blk_q=blk,
+                interpret=True))
+            if n_valid:
+                got, ref = got[:, :, :n_valid], want[:, :, :n_valid]
+            else:
+                ref = want
+            np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)

@@ -116,7 +116,7 @@ def main():
     jax.block_until_ready(vols)
 
     def run(v):
-        p, s, _ = pipe._jit_volume(cp, sp, supp, fg, 1 - fg, v, supp_fts, 2)
+        p, s = pipe._jit_volume(cp, sp, supp, fg, 1 - fg, v, supp_fts, 2)
         return float(p.astype(jnp.float32).sum()) + \
             float(s.astype(jnp.float32).sum())
 
