@@ -103,6 +103,97 @@ def masked_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     return _masked_flash(q, k, v, float(scale), n_valid, blk_q, interpret)
 
 
+def _packed_kernel(qkv_ref, out_ref, *, scale, n_valid, nh, hd):
+    """One program per batch element: the (S, 3C) qkv block stays resident
+    in VMEM and heads run inside a ``fori_loop`` of dynamic lane slices —
+    q_h = qkv[:, h*hd:(h+1)*hd], k_h at C + ..., v_h at 2C + ... (the
+    (3, nh, hd) channel order of the fused qkv projection).  No (B,H,S,D)
+    intermediate ever exists in HBM.
+
+    Two heads per loop step keep the dynamic lane offsets 128-aligned
+    (hd=64 everywhere in this repo's ViTs); a python-unrolled head loop
+    kept every head's (S, S) softmax temporaries live — 178 MB of Mosaic
+    register spill at DINOv2-L (the same liveness failure as the CCA
+    kernel's unrolled scans, ops/cca_pallas.py)."""
+    s = qkv_ref.shape[1]
+    c = nh * hd
+
+    def one_head(q, k, v):
+        scores = lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # (S, S)
+        if n_valid is not None:
+            cols = lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(cols >= n_valid, -jnp.inf, scores)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        p = jnp.exp(scores - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        acc = lax.dot_general(
+            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (acc / l).astype(out_ref.dtype)
+
+    if nh % 2:
+        for h in range(nh):  # odd head counts: test-size models only
+            q = qkv_ref[0, :, h * hd:(h + 1) * hd]
+            k = qkv_ref[0, :, c + h * hd:c + (h + 1) * hd]
+            v = qkv_ref[0, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            out_ref[0, :, h * hd:(h + 1) * hd] = one_head(q, k, v)
+        return
+
+    def body(j, carry):
+        off = j * (2 * hd)
+        qq = qkv_ref[0, :, pl.ds(off, 2 * hd)]
+        kk = qkv_ref[0, :, pl.ds(c + off, 2 * hd)]
+        vv = qkv_ref[0, :, pl.ds(2 * c + off, 2 * hd)]
+        o0 = one_head(qq[:, :hd], kk[:, :hd], vv[:, :hd])
+        o1 = one_head(qq[:, hd:], kk[:, hd:], vv[:, hd:])
+        out_ref[0, :, pl.ds(off, 2 * hd)] = jnp.concatenate([o0, o1], axis=1)
+        return carry
+
+    lax.fori_loop(0, nh // 2, body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "n_valid", "nh",
+                                             "interpret"))
+def _masked_flash_packed(qkv, scale, n_valid, nh, interpret):
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // nh
+    return pl.pallas_call(
+        functools.partial(_packed_kernel, scale=scale, n_valid=n_valid,
+                          nh=nh, hd=hd),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, s, c3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(qkv)
+
+
+def masked_flash_attention_packed(qkv: jax.Array, *, scale: float,
+                                  num_heads: int,
+                                  n_valid: int | None = None,
+                                  interpret: bool | None = None) -> jax.Array:
+    """Packed-layout masked flash MHA.
+
+    qkv: (B, S, 3*C) straight from the fused qkv projection (channel order
+    (3, heads, head_dim)); returns (B, S, C) ready for the output
+    projection.  Keys at index >= n_valid are excluded from the softmax.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    s = qkv.shape[1]
+    if n_valid is not None and n_valid >= s:
+        n_valid = None
+    return _masked_flash_packed(qkv, float(scale), n_valid, num_heads,
+                                interpret)
+
+
 def multi_head_attention_bhsd(q: jax.Array, k: jax.Array, v: jax.Array, *,
                               scale: float, n_valid: int | None = None,
                               use_flash: str | bool = "auto") -> jax.Array:

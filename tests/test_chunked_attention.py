@@ -90,3 +90,34 @@ def test_masked_flash_kernel_matches_einsum():
             else:
                 ref = want
             np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("nh", [2, 3, 4])
+def test_packed_flash_kernel_matches_einsum(nh):
+    """The packed-qkv kernel (interpret) must equal the einsum path fed the
+    same fused projection output, with and without key padding (even head
+    counts take the fori_loop two-heads-per-step path, odd the unrolled)."""
+    from protosam_tpu.ops.attention import (
+        masked_flash_attention_packed,
+        multi_head_attention_bhsd,
+    )
+
+    b, s, hd = 2, 128, 16
+    c = nh * hd
+    rng = np.random.default_rng(2)
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * c)), jnp.float32)
+
+    for n_valid in (None, 100):
+        split = qkv.reshape(b, s, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        want = multi_head_attention_bhsd(split[0], split[1], split[2],
+                                         scale=0.25, n_valid=n_valid,
+                                         use_flash=False)
+        want = np.asarray(want.transpose(0, 2, 1, 3).reshape(b, s, c))
+        got = np.asarray(masked_flash_attention_packed(
+            qkv, scale=0.25, num_heads=nh, n_valid=n_valid, interpret=True))
+        nv = n_valid or s
+        np.testing.assert_allclose(got[:, :nv], want[:, :nv],
+                                   atol=2e-5, rtol=1e-4)

@@ -82,6 +82,8 @@ def parse_trace(trace_dir):
                 op_tids[(e["pid"], e["tid"])] = nm
     agg = collections.Counter()
     count = collections.Counter()
+    cat = collections.Counter()
+    cat_bytes = collections.Counter()
     total_mod = 0.0
     for e in ev:
         if e.get("ph") != "X":
@@ -90,9 +92,20 @@ def parse_trace(trace_dir):
         if kind == "XLA Ops" and e["pid"] in dev_pids:
             agg[e["name"]] += e.get("dur", 0.0)
             count[e["name"]] += 1
+            args = e.get("args", {})
+            # while/cond wrapper events nest their body ops (double
+            # counting); category totals only sum LEAF ops
+            c = str(args.get("hlo_category", "?"))
+            if not e["name"].startswith(("while", "cond")):
+                cat[c] += e.get("dur", 0.0)
+                cat_bytes[c] += int(args.get("bytes_accessed", 0) or 0)
         elif kind == "XLA Modules" and e["pid"] in dev_pids:
             total_mod += e.get("dur", 0.0)
     tot = sum(agg.values())
+    print(f"\n== leaf-op time by hlo_category ==")
+    for c, dur in cat.most_common(20):
+        gbs = cat_bytes[c] / 1e9 / (dur / 1e6 + 1e-9)
+        print(f"{dur/1e3:9.2f} ms  {gbs:7.0f} GB/s  {c}")
     print(f"\n== device op time: {tot/1e3:.1f} ms "
           f"(module track: {total_mod/1e3:.1f} ms) ==")
     for name, dur in agg.most_common(60):
