@@ -100,12 +100,21 @@ def _attend(q_rows, k, v, Rh_rows, Rw, num_heads, scale, grid_hw,
 
 
 class Attention(nn.Module):
-    """Multi-head attention with decomposed relative position bias.
+    """Multi-head attention with decomposed relative position bias, owning
+    the global-vs-windowed branch (reference Block:125-193 + window
+    partition:254-300 choose statically per layer; here ``is_global``
+    selects at runtime under one traced block).
+
+    The qkv/proj projections run ONCE on the full grid outside the branch
+    (the reference projects per window, taxing qkv/proj with the 70²/64²
+    partition padding); the windowed branch feeds the raw padded (B,Hp,Wp,
+    3C) projection to a packed Pallas kernel whose window partition is pure
+    BlockSpec indexing — the r2 trace measured ~5.5 ms/layer-batch8 of
+    partition/layout/augment copies around the per-window kernel, all of
+    which this removes.
 
     ``table_rows`` fixes the stored rel-pos param size (padded to the
     largest grid when stacked under scan); the used slice is 2*size-1.
-    Large (global) grids are processed in sequential query-row chunks so
-    the full attention matrix stays bounded.
     """
 
     num_heads: int
@@ -113,27 +122,26 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     table_rows: int | None = None
     q_chunk_rows: int = 8   # row-chunk size for grids with >= 2048 tokens
-    # fused Pallas flash attention with on-the-fly rel-pos bias
-    # (ops/vitdet_flash.py): block-q/full-k kernel for global layers,
-    # per-window kernel for windowed layers
     use_flash_relpos: bool = False
     flash_q_rows: int = 16  # query grid-rows per global-kernel program (v5e sweep)
-    window_backend: str = "flash"  # "flash" (pallas) | "xla_aug"
-    window_wpp: int = 1  # windows per pallas program
+    # "packed" (BlockSpec-partition kernel) | "flash" (per-window kernel on
+    # partitioned tensors) | "xla_aug" (no pallas); non-packed backends are
+    # kept for A/B and measurement history (ROUND_NOTES.md)
+    window_backend: str = "packed"
+    window_wpp: int = 1  # windows per pallas program ("flash" backend)
+    window_size: int = 14
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, is_global=None) -> jax.Array:
         b, h, w, c = x.shape
-        head_dim = c // self.num_heads
+        nh = self.num_heads
+        head_dim = c // nh
         scale = head_dim ** -0.5
+        win = self.window_size
 
-        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)  # B,H,W,3C
-        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
-        # ONE transpose into the kernels' heads-first layout (a moveaxis to
-        # (3,B,S,nh,hd) + per-tensor transposes inside the kernels cost
-        # ~2 extra 60 MB copies per layer)
-        qkv = qkv.transpose(2, 0, 3, 1, 4)          # (3, B, nh, S, hd)
-        q, k, v = qkv[0], qkv[1], qkv[2]            # each (B, nh, S, hd)
+        qkv_dense = nn.Dense(3 * c, dtype=self.dtype, name="qkv")
+        qkv = qkv_dense(x)                           # (B, H, W, 3C)
+        qkv_bias = qkv_dense.variables["params"]["bias"].astype(self.dtype)
 
         if self.use_rel_pos:
             rows = self.table_rows or (2 * max(h, w) - 1)
@@ -143,36 +151,46 @@ class Attention(nn.Module):
                                (rows, head_dim))
             Rh = _rel_pos_table(rel_h[:2 * h - 1].astype(self.dtype), h, h)
             Rw = _rel_pos_table(rel_w[:2 * w - 1].astype(self.dtype), w, w)
+            Rh_win = _rel_pos_table(rel_h[:2 * win - 1].astype(self.dtype),
+                                    win, win)
+            Rw_win = _rel_pos_table(rel_w[:2 * win - 1].astype(self.dtype),
+                                    win, win)
         else:
-            Rh = Rw = None
+            Rh = Rw = Rh_win = Rw_win = None
 
-        def chunked(q, k, v):
+        def split_heads(qkv):
+            q5 = qkv.reshape(b, h * w, 3, nh, head_dim)
+            q5 = q5.transpose(2, 0, 3, 1, 4)         # (3, B, nh, S, hd)
+            return q5[0], q5[1], q5[2]
+
+        def chunked(qkv):
+            q, k, v = split_heads(qkv)
             # CPU/XLA reference path wants (B, S, heads, hd)
             q = q.transpose(0, 2, 1, 3)
             k = k.transpose(0, 2, 1, 3)
             v = v.transpose(0, 2, 1, 3)
-            rq = q.reshape(b, h, w, self.num_heads, head_dim)
+            rq = q.reshape(b, h, w, nh, head_dim)
             if h * w >= 2048 and h % self.q_chunk_rows == 0:
                 nch = h // self.q_chunk_rows
                 rq_c = rq.reshape(b, nch, self.q_chunk_rows, w,
-                                  self.num_heads, head_dim
-                                  ).transpose(1, 0, 2, 3, 4, 5)
+                                  nh, head_dim).transpose(1, 0, 2, 3, 4, 5)
                 Rh_c = (Rh.reshape(nch, self.q_chunk_rows, h, head_dim)
                         if self.use_rel_pos else jnp.zeros((nch, 1)))
                 out = jax.lax.map(
                     lambda args: _attend(args[0], k, v, args[1], Rw,
-                                         self.num_heads, scale, (h, w),
+                                         nh, scale, (h, w),
                                          self.use_rel_pos, self.dtype),
                     (rq_c, Rh_c))
                 out = out.transpose(1, 0, 2, 3, 4)
             else:
-                out = _attend(rq, k, v, Rh, Rw, self.num_heads, scale,
+                out = _attend(rq, k, v, Rh, Rw, nh, scale,
                               (h, w), self.use_rel_pos, self.dtype)
             return out.reshape(b, h, w, c).astype(self.dtype)
 
-        def flash(q, k, v):
+        def flash(qkv):
             from protosam_tpu.ops.vitdet_flash import flash_attention_relpos
 
+            q, k, v = split_heads(qkv)
             out = flash_attention_relpos(
                 q, k, v, Rh.astype(jnp.float32), Rw.astype(jnp.float32),
                 (h, w), scale, rows_per_blk=self.flash_q_rows,
@@ -180,45 +198,108 @@ class Attention(nn.Module):
             out = out.transpose(0, 2, 1, 3)
             return out.astype(self.dtype).reshape(b, h, w, c)
 
-        def window_flash(q, k, v):
+        def global_attn(qkv):
+            if (self.use_flash_relpos and self.use_rel_pos
+                    and h * w >= 2048 and h % self.flash_q_rows == 0):
+                return jax.lax.platform_dependent(qkv, cpu=chunked,
+                                                  default=flash)
+            return chunked(qkv)
+
+        # ---- windowed branch ------------------------------------------
+        ph, pw = (-h) % win, (-w) % win
+        hp, wp = h + ph, w + pw
+
+        def pad_qkv(qkv):
+            """Window padding AFTER the projection: pad tokens must carry
+            Dense(0) = bias (the reference zero-pads x before qkv)."""
+            if not (ph or pw):
+                return qkv
+            padded = jnp.pad(qkv, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            ymask = jnp.arange(hp) < h
+            xmask = jnp.arange(wp) < w
+            valid = (ymask[:, None] & xmask[None, :])[None, :, :, None]
+            return jnp.where(valid, padded, qkv_bias)
+
+        def window_packed(qkv):
+            from protosam_tpu.ops.vitdet_flash import window_packed_attention
+
+            q_all = qkv[..., :c].reshape(b, h, w, nh, head_dim)
+            if self.use_rel_pos:
+                iy = np.arange(h) % win
+                ix = np.arange(w) % win
+                bias_h = jnp.einsum("byxhc,ykc->byxhk",
+                                    q_all.astype(jnp.float32),
+                                    Rh_win.astype(jnp.float32)[iy])
+                bias_w = jnp.einsum("byxhc,xkc->byxhk",
+                                    q_all.astype(jnp.float32),
+                                    Rw_win.astype(jnp.float32)[ix])
+                bias = jnp.concatenate([bias_h, bias_w], axis=-1)
+                bias = bias.reshape(b, h, w, nh * 2 * win).astype(qkv.dtype)
+            else:
+                bias = jnp.zeros((b, h, w, nh * 2 * win), qkv.dtype)
+            if ph or pw:
+                bias = jnp.pad(bias, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            out = window_packed_attention(pad_qkv(qkv), bias, win, nh,
+                                          scale, interpret=False)
+            return out[:, :h, :w]
+
+        def partition_windows(qkv):
+            ww, _ = window_partition(pad_qkv(qkv), win)   # (NW, win, win, 3C)
+            nw = ww.shape[0]
+            q5 = ww.reshape(nw, win * win, 3, nh, head_dim)
+            q5 = q5.transpose(2, 0, 3, 1, 4)              # (3, NW, nh, Sw, hd)
+            return q5[0], q5[1], q5[2], nw
+
+        def window_kernel(qkv):
             from protosam_tpu.ops.vitdet_flash import (
                 window_attention_xla_aug,
                 window_flash_attention,
             )
 
+            q, k, v, nw = partition_windows(qkv)
             if self.window_backend == "xla_aug":
                 out = window_attention_xla_aug(
-                    q, k, v, Rh.astype(jnp.float32), Rw.astype(jnp.float32),
-                    h, scale, heads_first=True)
+                    q, k, v, Rh_win.astype(jnp.float32),
+                    Rw_win.astype(jnp.float32), win, scale, heads_first=True)
             else:
                 out = window_flash_attention(
-                    q, k, v, Rh.astype(jnp.float32), Rw.astype(jnp.float32),
-                    h, scale, interpret=False, heads_first=True,
-                    wpp=self.window_wpp)
-            out = out.transpose(0, 2, 1, 3)
-            return out.astype(self.dtype).reshape(b, h, w, c)
+                    q, k, v, Rh_win.astype(jnp.float32),
+                    Rw_win.astype(jnp.float32), win, scale, interpret=False,
+                    heads_first=True, wpp=self.window_wpp)
+            out = out.transpose(0, 2, 1, 3).reshape(nw, win, win, c)
+            return window_unpartition(out, win, (hp, wp),
+                                      (h, w)).astype(self.dtype)
 
-        if (self.use_flash_relpos and self.use_rel_pos
-                and h * w >= 2048 and h % self.flash_q_rows == 0):
-            # flash on the chip, chunked XLA when lowered for CPU (init /
-            # interpret-free tests) — one traced program serves both.
-            out = jax.lax.platform_dependent(q, k, v, cpu=chunked,
-                                             default=flash)
-        elif self.use_flash_relpos and self.use_rel_pos and h == w:
-            # windowed layers: fused per-window kernel on chip (the XLA
-            # path materializes (windows, heads, S_w, S_w) f32 tensors in
-            # HBM — ~150 ms/batch-8 of the r1 pipeline budget)
-            out = jax.lax.platform_dependent(q, k, v, cpu=chunked,
-                                             default=window_flash)
+        def window_chunked(qkv):
+            q, k, v, nw = partition_windows(qkv)
+            rq = q.transpose(0, 2, 1, 3).reshape(nw, win, win, nh, head_dim)
+            out = _attend(rq, k.transpose(0, 2, 1, 3),
+                          v.transpose(0, 2, 1, 3), Rh_win, Rw_win, nh,
+                          scale, (win, win), self.use_rel_pos, self.dtype)
+            out = out.reshape(nw, win, win, c)
+            return window_unpartition(out, win, (hp, wp),
+                                      (h, w)).astype(self.dtype)
+
+        def window_attn(qkv):
+            if not self.use_flash_relpos:
+                return window_chunked(qkv)
+            tpu = (window_packed if self.window_backend == "packed"
+                   else window_kernel)
+            return jax.lax.platform_dependent(qkv, cpu=window_chunked,
+                                              default=tpu)
+
+        if is_global is None:
+            out = global_attn(qkv)
         else:
-            out = chunked(q, k, v)
+            out = jax.lax.cond(is_global, global_attn, window_attn, qkv)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
 class Block(nn.Module):
     """Transformer block; window vs global attention chosen at runtime by
     the scanned ``is_global`` flag (reference Block:125-193 chooses
-    statically per layer — identical math, one traced copy)."""
+    statically per layer — identical math, one traced copy).  The branch
+    itself lives inside Attention so qkv/proj run once on the full grid."""
 
     num_heads: int
     mlp_ratio: float = 4.0
@@ -228,7 +309,7 @@ class Block(nn.Module):
     embed_dim: int = 768
     dtype: jnp.dtype = jnp.float32
     use_flash_relpos: bool = False
-    window_backend: str = "flash"
+    window_backend: str = "packed"
     window_wpp: int = 1
 
     def setup(self):
@@ -237,24 +318,14 @@ class Block(nn.Module):
                               table_rows=2 * self.grid_size - 1,
                               use_flash_relpos=self.use_flash_relpos,
                               window_backend=self.window_backend,
-                              window_wpp=self.window_wpp)
+                              window_wpp=self.window_wpp,
+                              window_size=self.window_size)
         self.norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
         self.mlp = MLPBlock(int(self.embed_dim * self.mlp_ratio), _gelu,
                             self.dtype)
 
     def __call__(self, x: jax.Array, is_global: jax.Array):
-        xn = self.norm1(x)
-
-        def global_branch(mdl, xx):
-            return mdl.attn(xx)
-
-        def window_branch(mdl, xx):
-            h, w = xx.shape[1], xx.shape[2]
-            ww, pad_hw = window_partition(xx, mdl.window_size)
-            ww = mdl.attn(ww)
-            return window_unpartition(ww, mdl.window_size, pad_hw, (h, w))
-
-        x = x + nn.cond(is_global, global_branch, window_branch, self, xn)
+        x = x + self.attn(self.norm1(x), is_global)
         x = x + self.mlp(self.norm2(x))
         return x, None
 
@@ -281,7 +352,7 @@ class ImageEncoderViT(nn.Module):
     # use_grad_checkpointing flag, image_encoder.py:36, 113-118)
     remat: bool = False
     use_flash_relpos: bool = False
-    window_backend: str = "flash"
+    window_backend: str = "packed"
     window_wpp: int = 1
 
     @nn.compact

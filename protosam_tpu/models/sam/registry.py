@@ -30,11 +30,12 @@ _CONFIGS = {
 
 
 def build_sam(model_type: str = "vit_h", dtype=jnp.float32,
-              image_size: int = 1024) -> Sam:
+              image_size: int = 1024, **overrides) -> Sam:
     if model_type not in _CONFIGS:
         raise KeyError(f"unknown SAM model type {model_type!r}; "
                        f"have {sorted(_CONFIGS)}")
-    return Sam(image_size=image_size, dtype=dtype, **_CONFIGS[model_type])
+    return Sam(image_size=image_size, dtype=dtype, **_CONFIGS[model_type],
+               **overrides)
 
 
 sam_model_registry = {k: (lambda k=k, **kw: build_sam(k, **kw))

@@ -257,6 +257,102 @@ def window_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out if heads_first else out.transpose(0, 2, 1, 3)
 
 
+def _window_packed_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref, *,
+                          nh, hd, win, scale):
+    """One program per (batch, window-row, window-col): the window's packed
+    (win², 3C) qkv block and its (win², nh*2*win) compact-bias block live
+    in VMEM; per head the augmented operands are assembled into scratch
+    (q_aug = [q*scale | bias_h | bias_w | 0], k_aug = [k | sel | 0], both
+    128 lanes) and ONE full-width dot yields scores + decomposed rel-pos
+    bias exactly, as in _window_aug_loop_kernel.  The 0/1 selector columns
+    are built once per program from iota (k//win and k%win hit the bias_h /
+    bias_w lanes).  No (windows, heads, S_w, D) tensor ever exists in HBM —
+    window partition is pure BlockSpec indexing."""
+    sw = win * win
+    c = nh * hd
+    aug = hd + 2 * win
+    data = qkv_ref[0, 0, :, 0, :, :].reshape(sw, 3 * c)
+    bias = bias_ref[0, 0, :, 0, :, :].reshape(sw, nh * 2 * win)
+
+    # selector + zero tail lanes, once per program
+    r = lax.broadcasted_iota(jnp.int32, (sw, 128 - hd), 0)
+    j = lax.broadcasted_iota(jnp.int32, (sw, 128 - hd), 1)
+    # pure logical masks: a boolean select_n with a scalar False lowers to
+    # an unsupported i8->i1 truncation on Mosaic
+    sel_h = ((r // win) == j) & (j < win)
+    sel_w = ((r % win) == (j - win)) & (j >= win) & (j < 2 * win)
+    ka_ref[:, hd:] = (sel_h | sel_w).astype(ka_ref.dtype)
+    qa_ref[:, aug:] = jnp.zeros((sw, 128 - aug), qa_ref.dtype)
+
+    for h in range(nh):
+        qa_ref[:, :hd] = (data[:, h * hd:(h + 1) * hd].astype(jnp.float32)
+                          * scale).astype(qa_ref.dtype)
+        qa_ref[:, hd:aug] = bias[:, h * 2 * win:(h + 1) * 2 * win]
+        ka_ref[:, :hd] = data[:, c + h * hd:c + (h + 1) * hd]
+        scores = lax.dot_general(
+            qa_ref[...], ka_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (S_w, S_w)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        p = jnp.exp(scores - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        v = data[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        acc = lax.dot_general(
+            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[0, 0, :, 0, :, h * hd:(h + 1) * hd] = (
+            (acc / l).astype(out_ref.dtype).reshape(win, win, hd))
+
+
+@functools.partial(jax.jit, static_argnames=("win", "nh", "scale",
+                                             "interpret"))
+def _call_window_packed(qkv_pad, bias_pad, win, nh, scale, interpret):
+    b, hp, wp, c3 = qkv_pad.shape
+    c = c3 // 3
+    hd = c // nh
+    nwy, nwx = hp // win, wp // win
+    r6 = lambda x: x.reshape(b, nwy, win, nwx, win, x.shape[-1])
+    blk = lambda last: pl.BlockSpec(
+        (1, 1, win, 1, win, last),
+        lambda i, y, x: (i, y, 0, x, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_window_packed_kernel, nh=nh, hd=hd, win=win,
+                          scale=scale),
+        grid=(b, nwy, nwx),
+        in_specs=[blk(c3), blk(nh * 2 * win)],
+        out_specs=blk(c),
+        out_shape=jax.ShapeDtypeStruct((b, nwy, win, nwx, win, c),
+                                       qkv_pad.dtype),
+        scratch_shapes=[pltpu.VMEM((win * win, 128), qkv_pad.dtype),
+                        pltpu.VMEM((win * win, 128), qkv_pad.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(r6(qkv_pad), r6(bias_pad))
+    return out.reshape(b, hp, wp, c)
+
+
+def window_packed_attention(qkv_pad: jax.Array, bias_pad: jax.Array,
+                            win: int, num_heads: int, scale: float,
+                            interpret: bool | None = None) -> jax.Array:
+    """Fused windowed ViTDet attention over PACKED operands.
+
+    qkv_pad: (B, Hp, Wp, 3C), window-padded with the qkv projection's BIAS
+    values (the reference pads x with zeros BEFORE the projection,
+    image_encoder.py:254-300 — Dense(0) = bias, so pad-token keys carry the
+    bias exactly like the reference's);
+    bias_pad: (B, Hp, Wp, nh*2*win) compact rel-pos bias factors
+    [bias_h | bias_w] per head (zero-padded rows/cols: pad QUERY rows are
+    discarded, so their bias is irrelevant; bias columns of valid queries
+    are q-dependent only).  Hp/Wp must be multiples of ``win``.
+    Returns (B, Hp, Wp, C).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    return _call_window_packed(qkv_pad, bias_pad, win, num_heads,
+                               float(scale), interpret)
+
+
 def window_attention_xla_aug(q: jax.Array, k: jax.Array, v: jax.Array,
                              Rh: jax.Array, Rw: jax.Array, win: int,
                              scale: float,

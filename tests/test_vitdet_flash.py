@@ -72,6 +72,10 @@ def test_encoder_flash_matches_chunked(rng, monkeypatch):
     monkeypatch.setattr(
         vf, "window_flash_attention",
         lambda *a, **k: orig_w(*a, **{**k, "interpret": True}))
+    orig_p = vf.window_packed_attention
+    monkeypatch.setattr(
+        vf, "window_packed_attention",
+        lambda *a, **k: orig_p(*a, **{**k, "interpret": True}))
     monkeypatch.setattr(
         jax.lax, "platform_dependent",
         lambda *args, default=None, **branches: default(*args))
@@ -209,3 +213,51 @@ def test_window_variants_match(rng):
         qh, kh, vh, Rh, Rw, win, scale, heads_first=True))
     np.testing.assert_allclose(got_hf.transpose(0, 2, 1, 3), want,
                                atol=2e-5, rtol=1e-4)
+
+
+def test_window_packed_matches_reference(rng):
+    """The packed (BlockSpec-partition) window kernel vs the einsum
+    reference on bias-padded inputs, including a non-multiple grid where
+    edge windows contain pad tokens carrying the projection bias."""
+    from protosam_tpu.ops.vitdet_flash import window_packed_attention
+
+    win, nh, d = 4, 2, 16
+    c = nh * d
+    b, h, w = 2, 10, 6            # pads to 12 x 8: edge windows present
+    scale = d ** -0.5
+    rng_ = np.random.default_rng(3)
+    qkv = jnp.asarray(rng_.standard_normal((b, h, w, 3 * c)), jnp.float32)
+    bias_vec = jnp.asarray(rng_.standard_normal((3 * c,)) * 0.1, jnp.float32)
+    Rh = jnp.asarray(rng_.standard_normal((win, win, d)) * 0.1, jnp.float32)
+    Rw = jnp.asarray(rng_.standard_normal((win, win, d)) * 0.1, jnp.float32)
+
+    # bias-pad qkv, zero-pad bias factors (as the encoder does)
+    ph, pw = (-h) % win, (-w) % win
+    hp, wp = h + ph, w + pw
+    qkv_pad = jnp.pad(qkv, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    valid = ((jnp.arange(hp) < h)[:, None]
+             & (jnp.arange(wp) < w)[None, :])[None, :, :, None]
+    qkv_pad = jnp.where(valid, qkv_pad, bias_vec)
+
+    q_all = qkv[..., :c].reshape(b, h, w, nh, d)
+    iy, ix = np.arange(h) % win, np.arange(w) % win
+    bias_h = jnp.einsum("byxhc,ykc->byxhk", q_all, Rh[iy])
+    bias_w = jnp.einsum("byxhc,xkc->byxhk", q_all, Rw[ix])
+    bias = jnp.concatenate([bias_h, bias_w], -1).reshape(b, h, w, nh * 2 * win)
+    bias = jnp.pad(bias, ((0, 0), (0, ph), (0, pw), (0, 0)))
+
+    got = np.asarray(window_packed_attention(
+        qkv_pad, bias, win, nh, scale, interpret=True))[:, :h, :w]
+
+    # reference: partition the SAME bias-padded qkv, einsum per window
+    from protosam_tpu.models.sam.image_encoder import (
+        window_partition,
+        window_unpartition,
+    )
+    ww, _ = window_partition(qkv_pad, win)
+    nw = ww.shape[0]
+    q5 = ww.reshape(nw, win * win, 3, nh, d).transpose(2, 0, 1, 3, 4)
+    want = reference(q5[0], q5[1], q5[2], Rh, Rw, win, win, scale)
+    want = window_unpartition(
+        np.asarray(want).reshape(nw, win, win, c), win, (hp, wp), (h, w))
+    np.testing.assert_allclose(got, np.asarray(want), atol=2e-5, rtol=1e-4)

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""On-chip bench of the SAM ViTDet image encoder alone (batch 8, 1024²).
+
+Usage: python tools/bench_sam_encoder.py [reps] [sam_ver] [backend]
+backend: packed (default) | flash | xla_aug
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    ver = sys.argv[2] if len(sys.argv) > 2 else "vit_b"
+    backend = sys.argv[3] if len(sys.argv) > 3 else "packed"
+
+    from protosam_tpu.models.sam import build_sam
+    from protosam_tpu.utils.synthetic import synthetic_params
+
+    sam = build_sam(ver, dtype=jnp.bfloat16, window_backend=backend)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (8, sam.image_size, sam.image_size, 3)) * 0.5, jnp.float32)
+    shapes = jax.eval_shape(
+        lambda r: sam.init(r, jnp.zeros((1, sam.image_size, sam.image_size, 3)),
+                           jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32),
+                           jnp.zeros((1, 4)))["params"], jax.random.PRNGKey(0))
+    params = jax.device_put(synthetic_params(shapes), jax.devices()[0])
+    jax.block_until_ready(params)
+    print("params ready", flush=True)
+
+    @jax.jit
+    def prog(p, x):
+        def body(i, acc):
+            emb = sam.apply({"params": p}, jnp.roll(x, i, axis=0),
+                            method=sam.encode_image)
+            return acc + emb.astype(jnp.float32).sum()
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    t0 = time.time(); float(prog(params, x)); comp = time.time() - t0
+    best = 1e9
+    for r in range(3):
+        xr = jnp.roll(x, r + 1, axis=1)
+        t0 = time.time(); float(prog(params, xr))
+        best = min(best, time.time() - t0)
+    per = (best - 0.05) / reps * 1000
+    print(f"sam {ver} encoder batch-8 [{backend}]: {per:.1f} ms/call "
+          f"(compile {comp:.0f}s)", flush=True)
+
+    if os.environ.get("TRACE"):
+        with jax.profiler.trace("/tmp/samtrace"):
+            float(prog(params, jnp.roll(x, 9, axis=1)))
+        from tools.trace_volume import parse_trace
+        parse_trace("/tmp/samtrace")
+
+
+if __name__ == "__main__":
+    main()
