@@ -175,6 +175,50 @@ def _masked_flash_packed(qkv, scale, n_valid, nh, interpret):
     )(qkv)
 
 
+def _packed_math(qkv, scale, n_valid, nh):
+    """Reference math of the packed kernel as plain XLA, chunked per head
+    so the (S, S) matrices stay bounded — used ONLY to derive the backward
+    pass (jax.vjp of this function), since pallas_call has no autodiff
+    rule.  Forward stays on the kernel."""
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // nh
+    q5 = qkv.reshape(b, s, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = q5[0], q5[1], q5[2]        # (B, nh, S, hd)
+
+    def one_head(args):
+        qh, kh, vh = args                 # (B, S, hd)
+        attn = jnp.einsum("bqd,bkd->bqk", qh * scale, kh,
+                          preferred_element_type=jnp.float32)
+        if n_valid is not None:
+            mask = jnp.arange(s) >= n_valid
+            attn = jnp.where(mask, -jnp.inf, attn)
+        attn = jax.nn.softmax(attn, axis=-1).astype(vh.dtype)
+        return jnp.einsum("bqk,bkd->bqd", attn, vh,
+                          preferred_element_type=jnp.float32).astype(vh.dtype)
+
+    out = lax.map(one_head, (q.transpose(1, 0, 2, 3), k.transpose(1, 0, 2, 3),
+                             v.transpose(1, 0, 2, 3)))   # (nh, B, S, hd)
+    return out.transpose(1, 2, 0, 3).reshape(b, s, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _packed_attn(qkv, scale, n_valid, nh, interpret):
+    return _masked_flash_packed(qkv, scale, n_valid, nh, interpret)
+
+
+def _packed_attn_fwd(qkv, scale, n_valid, nh, interpret):
+    return _packed_attn(qkv, scale, n_valid, nh, interpret), qkv
+
+
+def _packed_attn_bwd(scale, n_valid, nh, interpret, qkv, g):
+    _, vjp = jax.vjp(lambda t: _packed_math(t, scale, n_valid, nh), qkv)
+    return vjp(g)
+
+
+_packed_attn.defvjp(_packed_attn_fwd, _packed_attn_bwd)
+
+
 def masked_flash_attention_packed(qkv: jax.Array, *, scale: float,
                                   num_heads: int,
                                   n_valid: int | None = None,
@@ -184,14 +228,15 @@ def masked_flash_attention_packed(qkv: jax.Array, *, scale: float,
     qkv: (B, S, 3*C) straight from the fused qkv projection (channel order
     (3, heads, head_dim)); returns (B, S, C) ready for the output
     projection.  Keys at index >= n_valid are excluded from the softmax.
+    Differentiable: the backward pass is the VJP of a per-head-chunked
+    einsum recomputation (training/TTT drive this under jax.grad).
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     s = qkv.shape[1]
     if n_valid is not None and n_valid >= s:
         n_valid = None
-    return _masked_flash_packed(qkv, float(scale), n_valid, num_heads,
-                                interpret)
+    return _packed_attn(qkv, float(scale), n_valid, num_heads, interpret)
 
 
 def multi_head_attention_bhsd(q: jax.Array, k: jax.Array, v: jax.Array, *,

@@ -121,3 +121,34 @@ def test_packed_flash_kernel_matches_einsum(nh):
         nv = n_valid or s
         np.testing.assert_allclose(got[:, :nv], want[:, :nv],
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_packed_flash_gradient_matches_einsum():
+    """The packed kernel's custom VJP (head-chunked einsum recomputation)
+    must match gradients of the plain einsum path."""
+    from protosam_tpu.ops.attention import (
+        masked_flash_attention_packed,
+        multi_head_attention_bhsd,
+    )
+
+    b, nh, s, hd = 1, 2, 64, 8
+    c = nh * hd
+    rng = np.random.default_rng(5)
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * c)), jnp.float32)
+
+    def loss_packed(t):
+        out = masked_flash_attention_packed(t, scale=0.3, num_heads=nh,
+                                            n_valid=50, interpret=True)
+        return jnp.sum(jnp.sin(out[:, :50]))
+
+    def loss_ref(t):
+        q5 = t.reshape(b, s, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        out = multi_head_attention_bhsd(q5[0], q5[1], q5[2], scale=0.3,
+                                        n_valid=50, use_flash=False)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, c)
+        return jnp.sum(jnp.sin(out[:, :50]))
+
+    g1 = jax.grad(loss_packed)(qkv)
+    g2 = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-5, rtol=1e-4)

@@ -175,5 +175,10 @@ def test_eval_modes_agree(data_dir, monkeypatch):
     r_vol = run_eval(cfg, pipe=pipe, mode="volume")
     r_slc = run_eval(cfg, pipe=pipe, mode="per_slice")
     assert r_vol["n_slices"] == r_slc["n_slices"]
+    # Wiring-level agreement, not bit-equality: under the 8-virtual-device
+    # CPU test backend, XLA splits the encoder gemms across threads
+    # differently for batch 1 vs batch 2 (measured 3e-6 on embeddings),
+    # so the modes cannot be bitwise identical.  Mode-wiring bugs (frame /
+    # resize-order / prompt mismatches) move Dice by >> 1e-3.
     np.testing.assert_allclose(r_vol["mar_val_batches_meanDice"],
-                               r_slc["mar_val_batches_meanDice"], atol=1e-6)
+                               r_slc["mar_val_batches_meanDice"], atol=1e-3)
