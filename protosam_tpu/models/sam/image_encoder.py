@@ -130,6 +130,7 @@ class Attention(nn.Module):
     window_backend: str = "packed"
     window_wpp: int = 1  # windows per pallas program ("flash" backend)
     window_size: int = 14
+    global_backend: str = "flash"  # "packed" | "flash" (heads-first aug); packed pending on-chip validation
 
     @nn.compact
     def __call__(self, x: jax.Array, is_global=None) -> jax.Array:
@@ -198,11 +199,27 @@ class Attention(nn.Module):
             out = out.transpose(0, 2, 1, 3)
             return out.astype(self.dtype).reshape(b, h, w, c)
 
+        def global_packed(qkv):
+            from protosam_tpu.ops.vitdet_flash import global_packed_attention
+
+            q_all = qkv[..., :c].reshape(b, h, w, nh, head_dim)
+            bias_h = jnp.einsum("byxhc,ykc->byxhk", q_all.astype(jnp.float32),
+                                Rh.astype(jnp.float32))
+            bias_w = jnp.einsum("byxhc,xkc->byxhk", q_all.astype(jnp.float32),
+                                Rw.astype(jnp.float32))
+            bias = jnp.concatenate([bias_h, bias_w], axis=-1)
+            bias = bias.reshape(b, h, w, nh * (h + w)).astype(qkv.dtype)
+            return global_packed_attention(
+                qkv, bias, nh, scale, rows_per_blk=self.flash_q_rows,
+                interpret=False)
+
         def global_attn(qkv):
             if (self.use_flash_relpos and self.use_rel_pos
                     and h * w >= 2048 and h % self.flash_q_rows == 0):
+                tpu = (global_packed if self.global_backend == "packed"
+                       else flash)
                 return jax.lax.platform_dependent(qkv, cpu=chunked,
-                                                  default=flash)
+                                                  default=tpu)
             return chunked(qkv)
 
         # ---- windowed branch ------------------------------------------
@@ -311,6 +328,7 @@ class Block(nn.Module):
     use_flash_relpos: bool = False
     window_backend: str = "packed"
     window_wpp: int = 1
+    global_backend: str = "flash"
 
     def setup(self):
         self.norm1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
@@ -319,7 +337,8 @@ class Block(nn.Module):
                               use_flash_relpos=self.use_flash_relpos,
                               window_backend=self.window_backend,
                               window_wpp=self.window_wpp,
-                              window_size=self.window_size)
+                              window_size=self.window_size,
+                              global_backend=self.global_backend)
         self.norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
         self.mlp = MLPBlock(int(self.embed_dim * self.mlp_ratio), _gelu,
                             self.dtype)
@@ -354,6 +373,7 @@ class ImageEncoderViT(nn.Module):
     use_flash_relpos: bool = False
     window_backend: str = "packed"
     window_wpp: int = 1
+    global_backend: str = "flash"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -388,6 +408,7 @@ class ImageEncoderViT(nn.Module):
             use_flash_relpos=self.use_flash_relpos,
             window_backend=self.window_backend,
             window_wpp=self.window_wpp,
+            global_backend=self.global_backend,
             name="blocks",
         )(x, is_global)
 

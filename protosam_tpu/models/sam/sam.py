@@ -43,6 +43,7 @@ class Sam(nn.Module):
     use_flash_relpos: bool = True
     window_backend: str = "packed"  # "packed" | "flash" | "xla_aug"
     window_wpp: int = 1
+    global_backend: str = "flash"  # "packed" | "flash"
 
     def setup(self):
         grid = self.image_size // self.vit_patch_size
@@ -60,6 +61,7 @@ class Sam(nn.Module):
             use_flash_relpos=self.use_flash_relpos,
             window_backend=self.window_backend,
             window_wpp=self.window_wpp,
+            global_backend=self.global_backend,
         )
         self.prompt_encoder = PromptEncoder(
             embed_dim=self.prompt_embed_dim,

@@ -257,6 +257,103 @@ def window_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out if heads_first else out.transpose(0, 2, 1, 3)
 
 
+def _global_packed_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref,
+                          qa_ref, ka_ref, *, gh, gw, hd, scale):
+    """One program per (batch, head, q-row-block) over the PACKED qkv.
+
+    The grid's lane-block indexing slices the head straight out of the
+    (B, H, W, 3C) projection (q at lane-block h, k at nh+h, v at 2nh+h),
+    so no head-split transpose exists in HBM.  k_aug = [k | selectors]
+    lives in scratch and is rebuilt only when the (batch, head) changes
+    (q-block is the innermost grid dim); q_aug = [q*scale | bias] is
+    assembled per program.  One full-width dot then yields
+    scores + decomposed rel-pos bias exactly (see _aug_kernel).
+    """
+    rows = q_ref.shape[1]
+    nq, s = rows * gw, gh * gw
+    aug = hd + gh + gw
+
+    @pl.when(pl.program_id(2) == 0)
+    def _build_ka():
+        r = lax.broadcasted_iota(jnp.int32, (s, gh + gw), 0)
+        j = lax.broadcasted_iota(jnp.int32, (s, gh + gw), 1)
+        sel_h = ((r // gw) == j) & (j < gh)
+        sel_w = ((r % gw) == (j - gh)) & (j >= gh)
+        ka_ref[:, hd:] = (sel_h | sel_w).astype(ka_ref.dtype)
+        ka_ref[:, :hd] = k_ref[0].reshape(s, hd)
+
+    qa_ref[:, :hd] = (q_ref[0].reshape(nq, hd).astype(jnp.float32)
+                      * scale).astype(qa_ref.dtype)
+    qa_ref[:, hd:] = bias_ref[0].reshape(nq, gh + gw)
+    scores = lax.dot_general(
+        qa_ref[...], ka_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (nq, S)
+    m = jnp.max(scores, axis=1, keepdims=True)
+    p = jnp.exp(scores - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    v = v_ref[0].reshape(s, hd)
+    acc = lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[0] = (acc / l).astype(out_ref.dtype).reshape(rows, gw, hd)
+
+
+@functools.partial(jax.jit, static_argnames=("nh", "rows_per_blk", "scale",
+                                             "interpret"))
+def _call_global_packed(qkv, bias, nh, rows_per_blk, scale, interpret):
+    b, gh, gw, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // nh
+    aug = hd + gh + gw
+    grid = (b, nh, gh // rows_per_blk)
+    out = pl.pallas_call(
+        functools.partial(_global_packed_kernel, gh=gh, gw=gw, hd=hd,
+                          scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, rows_per_blk, gw, hd),
+                         lambda i, h, j: (i, j, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gh, gw, hd),
+                         lambda i, h, j, nh=nh: (i, 0, 0, nh + h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gh, gw, hd),
+                         lambda i, h, j, nh=nh: (i, 0, 0, 2 * nh + h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_per_blk, gw, gh + gw),
+                         lambda i, h, j: (i, j, 0, h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows_per_blk, gw, hd),
+                               lambda i, h, j: (i, j, 0, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, gh, gw, c), qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((rows_per_blk * gw, aug), qkv.dtype),
+                        pltpu.VMEM((gh * gw, aug), qkv.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(qkv, qkv, qkv, bias)
+    return out
+
+
+def global_packed_attention(qkv: jax.Array, bias: jax.Array,
+                            num_heads: int, scale: float,
+                            rows_per_blk: int = 16,
+                            interpret: bool | None = None) -> jax.Array:
+    """Fused global ViTDet attention over PACKED operands.
+
+    qkv: (B, H, W, 3C) raw fused projection; bias: (B, H, W, nh*(H+W))
+    compact rel-pos factors [bias_h | bias_w] per head.  Returns
+    (B, H, W, C).  H must be divisible by ``rows_per_blk``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    return _call_global_packed(qkv, bias, num_heads, rows_per_blk,
+                               float(scale), interpret)
+
+
 def _window_packed_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref, *,
                           nh, hd, win, scale):
     """One program per (batch, window-row, window-col): the window's packed

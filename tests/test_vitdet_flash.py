@@ -76,6 +76,10 @@ def test_encoder_flash_matches_chunked(rng, monkeypatch):
     monkeypatch.setattr(
         vf, "window_packed_attention",
         lambda *a, **k: orig_p(*a, **{**k, "interpret": True}))
+    orig_g = vf.global_packed_attention
+    monkeypatch.setattr(
+        vf, "global_packed_attention",
+        lambda *a, **k: orig_g(*a, **{**k, "interpret": True}))
     monkeypatch.setattr(
         jax.lax, "platform_dependent",
         lambda *args, default=None, **branches: default(*args))
@@ -261,3 +265,33 @@ def test_window_packed_matches_reference(rng):
     want = window_unpartition(
         np.asarray(want).reshape(nw, win, win, c), win, (hp, wp), (h, w))
     np.testing.assert_allclose(got, np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_global_packed_matches_reference(rng):
+    """The packed global kernel (lane-block head slicing + scratch k_aug)
+    vs the einsum reference."""
+    from protosam_tpu.ops.vitdet_flash import global_packed_attention
+
+    b, h, w, nh, d = 2, 8, 8, 2, 16
+    c = nh * d
+    s = h * w
+    scale = d ** -0.5
+    rng_ = np.random.default_rng(4)
+    qkv = jnp.asarray(rng_.standard_normal((b, h, w, 3 * c)), jnp.float32)
+    Rh = jnp.asarray(rng_.standard_normal((h, h, d)) * 0.1, jnp.float32)
+    Rw = jnp.asarray(rng_.standard_normal((w, w, d)) * 0.1, jnp.float32)
+
+    q_all = qkv[..., :c].reshape(b, h, w, nh, d)
+    bias_h = jnp.einsum("byxhc,ykc->byxhk", q_all, Rh)
+    bias_w = jnp.einsum("byxhc,xkc->byxhk", q_all, Rw)
+    bias = jnp.concatenate([bias_h, bias_w], -1).reshape(b, h, w, nh * (h + w))
+
+    for rows in (2, 4, 8):
+        got = np.asarray(global_packed_attention(
+            qkv, bias, nh, scale, rows_per_blk=rows, interpret=True))
+
+        q5 = qkv.reshape(b, s, 3, nh, d).transpose(2, 0, 1, 3, 4)
+        want = np.asarray(reference(q5[0], q5[1], q5[2], Rh, Rw, h, w, scale))
+        np.testing.assert_allclose(got.reshape(b, s, c),
+                                   want.reshape(b, s, c),
+                                   atol=2e-5, rtol=1e-4)
