@@ -267,6 +267,61 @@ def test_window_packed_matches_reference(rng):
     np.testing.assert_allclose(got, np.asarray(want), atol=2e-5, rtol=1e-4)
 
 
+def test_packed_kernels_vith_head_dim(rng):
+    """ViT-H head geometry (head_dim 80, non-lane-aligned) through BOTH
+    packed kernels: the in-kernel static lane slices at stride 80 and the
+    BlockSpec lane-block indexing must stay exact off 128 multiples."""
+    from protosam_tpu.ops.vitdet_flash import (
+        global_packed_attention,
+        window_packed_attention,
+    )
+
+    nh, d = 2, 80
+    c = nh * d
+    rng_ = np.random.default_rng(7)
+
+    # window kernel, exact grid (no pad windows)
+    win = 4
+    b, h, w = 1, 8, 8
+    scale = d ** -0.5
+    qkv = jnp.asarray(rng_.standard_normal((b, h, w, 3 * c)), jnp.float32)
+    Rh = jnp.asarray(rng_.standard_normal((win, win, d)) * 0.1, jnp.float32)
+    Rw = jnp.asarray(rng_.standard_normal((win, win, d)) * 0.1, jnp.float32)
+    q_all = qkv[..., :c].reshape(b, h, w, nh, d)
+    iy, ix = np.arange(h) % win, np.arange(w) % win
+    bias_h = jnp.einsum("byxhc,ykc->byxhk", q_all, Rh[iy])
+    bias_w = jnp.einsum("byxhc,xkc->byxhk", q_all, Rw[ix])
+    bias = jnp.concatenate([bias_h, bias_w], -1).reshape(b, h, w, nh * 2 * win)
+    got = np.asarray(window_packed_attention(
+        qkv, bias, win, nh, scale, interpret=True))
+    from protosam_tpu.models.sam.image_encoder import (
+        window_partition,
+        window_unpartition,
+    )
+    ww, _ = window_partition(qkv, win)
+    nw = ww.shape[0]
+    q5 = ww.reshape(nw, win * win, 3, nh, d).transpose(2, 0, 1, 3, 4)
+    want = reference(q5[0], q5[1], q5[2], Rh, Rw, win, win, scale)
+    want = window_unpartition(
+        np.asarray(want).reshape(nw, win, win, c), win, (h, w), (h, w))
+    np.testing.assert_allclose(got, np.asarray(want), atol=2e-5, rtol=1e-4)
+
+    # global kernel on the same projection
+    s = h * w
+    Rhg = jnp.asarray(rng_.standard_normal((h, h, d)) * 0.1, jnp.float32)
+    Rwg = jnp.asarray(rng_.standard_normal((w, w, d)) * 0.1, jnp.float32)
+    bias_h = jnp.einsum("byxhc,ykc->byxhk", q_all, Rhg)
+    bias_w = jnp.einsum("byxhc,xkc->byxhk", q_all, Rwg)
+    biasg = jnp.concatenate([bias_h, bias_w], -1).reshape(
+        b, h, w, nh * (h + w))
+    got = np.asarray(global_packed_attention(
+        qkv, biasg, nh, scale, rows_per_blk=4, interpret=True))
+    q5 = qkv.reshape(b, s, 3, nh, d).transpose(2, 0, 1, 3, 4)
+    want = np.asarray(reference(q5[0], q5[1], q5[2], Rhg, Rwg, h, w, scale))
+    np.testing.assert_allclose(got.reshape(b, s, c), want.reshape(b, s, c),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_global_packed_matches_reference(rng):
     """The packed global kernel (lane-block head slicing + scratch k_aug)
     vs the einsum reference."""
