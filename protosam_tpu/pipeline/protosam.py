@@ -298,8 +298,8 @@ class ProtoSAM:
 
     # ---- batched volume mode (the TPU throughput path) --------------------
 
-    @functools.cached_property
-    def _jit_volume(self):
+    def _volume_core(self, coarse_params, sam_params, supp, fg, bg, qrys,
+                     supp_fts, val_wsize):
         """One XLA program per slice batch: the coarse model and both SAM
         stages run natively batched over slices (the encoders see the full
         batch — no vmap around the Pallas flash-attention kernel), while the
@@ -309,28 +309,62 @@ class ProtoSAM:
         it with every slice, grid_proto_fewshot.py:181-184 — encoding is
         per-sample so caching is numerically identical).
         """
-        def volume(coarse_params, sam_params, supp, fg, bg, qrys, supp_fts,
-                   val_wsize):
-            n = qrys.shape[0]
-            out = self.coarse_model.apply(
-                {"params": coarse_params}, supp, fg, bg, qrys, True,
-                val_wsize, supp_fts=supp_fts)
-            logits = out["logits"]                      # (N, 2, H, W)
-            ex = jax.vmap(self._extract_prompts)(qrys[:, None],
-                                                 logits[:, None])
-            embs = self.sam_model.apply({"params": sam_params},
-                                        ex["sam_image"],
-                                        method=self.sam_model.encode_image)
-            preds, scores = self._decode_stage(
-                sam_params, embs, ex["coords"], ex["labels"], ex["boxes"],
-                ex["valid"], ex["pred"], qrys.shape[-2:],
-                mask_inputs=ex.get("mask_inputs"))
-            # do NOT return the coarse logits: materializing the unused
-            # (N, 2, H, W) f32 output costs ~90 MB/batch-24 of HBM writes
-            # and pins intermediates XLA could otherwise fuse away
-            return preds, scores
+        out = self.coarse_model.apply(
+            {"params": coarse_params}, supp, fg, bg, qrys, True,
+            val_wsize, supp_fts=supp_fts)
+        logits = out["logits"]                      # (N, 2, H, W)
+        ex = jax.vmap(self._extract_prompts)(qrys[:, None],
+                                             logits[:, None])
+        embs = self.sam_model.apply({"params": sam_params},
+                                    ex["sam_image"],
+                                    method=self.sam_model.encode_image)
+        preds, scores = self._decode_stage(
+            sam_params, embs, ex["coords"], ex["labels"], ex["boxes"],
+            ex["valid"], ex["pred"], qrys.shape[-2:],
+            mask_inputs=ex.get("mask_inputs"))
+        # do NOT return the coarse logits: materializing the unused
+        # (N, 2, H, W) f32 output costs ~90 MB/batch-24 of HBM writes
+        # and pins intermediates XLA could otherwise fuse away
+        return preds, scores
 
-        return jax.jit(volume, static_argnames=("val_wsize",))
+    @functools.cached_property
+    def _jit_volume(self):
+        return jax.jit(self._volume_core, static_argnames=("val_wsize",))
+
+    def _jit_volume_dp(self, mesh):
+        """Slice-data-parallel volume program via ``jax.shard_map``: each
+        chip runs the complete per-slice pipeline on its local shard with
+        ZERO cross-chip collectives (pinned by
+        tests/test_sharded_eval.py::test_dp_volume_program_has_no_collectives).
+
+        GSPMD (plain jit over sharded inputs) is NOT used here on purpose:
+        the CCA fixpoint is a ``lax.while_loop``, and under GSPMD its
+        convergence flag becomes a global OR — one cross-chip all-reduce
+        per label-propagation iteration, and every chip iterates until the
+        slowest mask on the POD converges.  shard_map keeps the loop
+        condition chip-local.  Tensor parallelism (shard_params=True) still
+        goes through GSPMD, which propagates the Megatron specs.
+        """
+        cache = getattr(self, "_dp_cache", None)
+        if cache is None:
+            cache = self._dp_cache = {}
+        if mesh not in cache:
+            from jax.sharding import PartitionSpec as P
+
+            def volume_dp(coarse_params, sam_params, supp, fg, bg, qrys,
+                          supp_fts, val_wsize):
+                fn = functools.partial(self._volume_core,
+                                       val_wsize=val_wsize)
+                shd = jax.shard_map(
+                    fn, mesh=mesh,
+                    in_specs=(P(), P(), P(), P(), P(), P("data"), P()),
+                    out_specs=(P("data"), P("data")),
+                    check_vma=False)
+                return shd(coarse_params, sam_params, supp, fg, bg, qrys,
+                           supp_fts)
+
+            cache[mesh] = jax.jit(volume_dp, static_argnames=("val_wsize",))
+        return cache[mesh]
 
     @functools.cached_property
     def _jit_supp_fts(self):
@@ -372,15 +406,18 @@ class ProtoSAM:
                                mesh, slice_batch: int | None = None,
                                shard_params: bool = False):
         """Multi-chip volume inference: slices sharded over the mesh 'data'
-        axis — XLA partitions the whole slice program (encoders, CCA,
-        prompts, SAM) across chips and inserts the collectives.  The
+        axis.  The dp path runs under ``jax.shard_map`` — each chip executes
+        the complete per-slice pipeline locally with zero collectives (see
+        _jit_volume_dp for why GSPMD is wrong for the CCA while-loop).  The
         reference has no distributed path at all (SURVEY.md §2.6); the
         z-stack is embarrassingly parallel.
 
         ``shard_params=True`` additionally Megatron-shards both encoders'
         transformer kernels over the mesh 'model' axis
         (parallel.encoder_param_sharding) — tensor parallelism on the
-        inference path for models too big to replicate per chip.
+        inference path for models too big to replicate per chip; this path
+        uses GSPMD (jit over sharded operands), which propagates the
+        Megatron specs and inserts the row-parallel all-reduces.
 
         queries (N, 3, H, W); N is padded to a multiple of the data-axis
         size.  Returns (preds (N, H, W), scores).
@@ -416,10 +453,12 @@ class ProtoSAM:
         args = (coarse_p, sam_p,
                 put(inp.supp_imgs), put(inp.fore_mask), put(inp.back_mask))
         supp_fts = jax.device_put(supp_fts, repl)
+        vol_fn = (self._jit_volume if shard_params
+                  else self._jit_volume_dp(mesh))
         preds, scores = [], []
         for i in range(0, queries.shape[0], batch):
             q = jax.device_put(queries[i:i + batch], shard)
-            p, s = self._jit_volume(*args, q, supp_fts, inp.val_wsize)
+            p, s = vol_fn(*args, q, supp_fts, inp.val_wsize)
             preds.append(p)
             scores.append(s)
         return (jnp.concatenate(preds, axis=0)[:n],

@@ -68,3 +68,46 @@ def test_tp_sharded_inference_matches_replicated():
                                               shard_params=True)
     np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+
+
+def test_dp_volume_program_has_no_collectives():
+    """The slice-data-parallel volume program must compile to ZERO
+    cross-chip collectives (the z-stack is embarrassingly parallel: every
+    stage — encoders, CCA, prompts, decode — is per-slice, and outputs
+    stay sharded).  This is why the dp path is shard_map, not GSPMD:
+    under plain jit-over-sharded-inputs the CCA while-loop's convergence
+    flag lowers to one pred[] all-reduce PER ITERATION, and every chip
+    iterates until the slowest mask on the pod converges.  This test pins
+    the near-linear dp scaling contract: a regression that reintroduces a
+    cross-slice dependency shows up here, not as a mystery slowdown on an
+    N-chip pod."""
+    assert len(jax.devices()) == 8
+    rng = jax.random.PRNGKey(0)
+    coarse = FewShotSeg(image_size=126, which_model="dinov2_t14")
+    sam = build_sam("vit_t", image_size=256)
+
+    supp = jax.random.normal(rng, (1, 3, 126, 126))
+    fg = jnp.zeros((1, 126, 126)).at[:, 30:80, 30:80].set(1.0)
+    queries = jax.random.normal(jax.random.PRNGKey(3), (8, 3, 126, 126))
+    cp = coarse.init(rng, supp, fg, 1 - fg, supp)["params"]
+    sp = sam.init(rng, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 1, 2)),
+                  jnp.ones((1, 1), jnp.int32), jnp.zeros((1, 4)))["params"]
+    pipe = ProtoSAM(coarse, cp, sam, sp,
+                    ProtoSAMConfig(image_size=(256, 256), use_cca=True,
+                                   max_ccs=4))
+    inp = ALPNetInput(supp, fg, queries[:1])
+    supp_fts = pipe._jit_supp_fts(cp, inp.supp_imgs)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = make_mesh(n_data=8, n_model=1)
+    repl = NamedSharding(mesh, P())
+    q = jax.device_put(queries, NamedSharding(mesh, P("data")))
+    args = (jax.device_put(cp, repl), jax.device_put(sp, repl),
+            jax.device_put(supp, repl), jax.device_put(fg, repl),
+            jax.device_put(1 - fg, repl), q,
+            jax.device_put(supp_fts, repl))
+    compiled = pipe._jit_volume_dp(mesh).lower(*args, 2).compile()
+    hlo = compiled.as_text()
+    for coll in ("all-reduce", "all-gather", "all-to-all",
+                 "collective-permute", "reduce-scatter"):
+        assert coll not in hlo, f"dp volume program contains {coll}"
