@@ -9,6 +9,7 @@ Env knobs:
   BENCH_SAM_VER   vit_b (default) | vit_l | vit_h
   BENCH_SLICES    number of slices in the volume (default 24)
   BENCH_BATCH     slice batch per XLA program (default 4)
+  BENCH_PIPE      protosam (default) | medsam (box-prompt ProtoMedSAM)
 
 Prints ONE JSON line.
 """
@@ -95,9 +96,14 @@ def main():
     coarse_params = jax.device_put(materialize(coarse_shapes), dev)
     sam_params = jax.device_put(materialize(sam_shapes), dev)
 
-    pipe = ProtoSAM(coarse, coarse_params, sam, sam_params,
-                    ProtoSAMConfig(image_size=(sam.image_size,) * 2,
-                                   max_ccs=4 if smoke else 8))
+    cfg = ProtoSAMConfig(image_size=(sam.image_size,) * 2,
+                         max_ccs=4 if smoke else 8)
+    if os.environ.get("BENCH_PIPE") == "medsam":
+        from protosam_tpu.pipeline import ProtoMedSAM
+
+        pipe = ProtoMedSAM(coarse, coarse_params, sam, sam_params, cfg)
+    else:
+        pipe = ProtoSAM(coarse, coarse_params, sam, sam_params, cfg)
 
     # synthetic volume: LOW-FREQUENCY slices (random 21² fields bilinearly
     # upsampled), not white noise — anatomy-like smooth structure.  With
@@ -216,7 +222,9 @@ def main():
     spread = round((times[-1] - times[0]) / med, 3)
     out = {
         "metric": f"slices/sec/chip full-pipeline one-shot inference "
-                  f"({coarse_name}+{sam_ver}, {image_size}px, "
+                  f"({coarse_name}+{sam_ver}"
+                  f"{' medsam' if os.environ.get('BENCH_PIPE') == 'medsam' else ''}, "
+                  f"{image_size}px, "
                   f"CHAOS-like volume{', disk-fed' if feeder else ''})",
         "value": round(value, 2),
         "unit": "slices/sec/chip",
