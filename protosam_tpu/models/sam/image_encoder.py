@@ -129,6 +129,7 @@ class Attention(nn.Module):
     # kept for A/B and measurement history (ROUND_NOTES.md)
     window_backend: str = "packed"
     window_wpp: int = 1  # windows per pallas program ("flash" backend)
+    window_wcp: int = 0  # window-cols per program; 0 = auto (full row)
     window_size: int = 14
     global_backend: str = "flash"  # "packed" | "flash" (heads-first aug); packed pending on-chip validation
 
@@ -256,8 +257,18 @@ class Attention(nn.Module):
                 bias = jnp.zeros((b, h, w, nh * 2 * win), qkv.dtype)
             if ph or pw:
                 bias = jnp.pad(bias, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            # wcp=0 -> auto: largest divisor of the window-column count
+            # whose qkv block stays under ~8 MB of VMEM (on-chip A/B:
+            # full-row programs beat one-window programs, 153.5 vs
+            # 156.6 ms/batch-8 on the vit_b encoder)
+            nwx = wp // win
+            wcp = self.window_wcp
+            if wcp == 0:
+                wcp = max(d for d in range(1, nwx + 1) if nwx % d == 0
+                          and win * win * d * 3 * c * 2 <= 8 * 2 ** 20)
             out = window_packed_attention(pad_qkv(qkv), bias, win, nh,
-                                          scale, interpret=False)
+                                          scale, interpret=False,
+                                          wcp=wcp)
             return out[:, :h, :w]
 
         def partition_windows(qkv):
@@ -328,6 +339,7 @@ class Block(nn.Module):
     use_flash_relpos: bool = False
     window_backend: str = "packed"
     window_wpp: int = 1
+    window_wcp: int = 0
     global_backend: str = "flash"
 
     def setup(self):
@@ -337,6 +349,7 @@ class Block(nn.Module):
                               use_flash_relpos=self.use_flash_relpos,
                               window_backend=self.window_backend,
                               window_wpp=self.window_wpp,
+                              window_wcp=self.window_wcp,
                               window_size=self.window_size,
                               global_backend=self.global_backend)
         self.norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
@@ -373,6 +386,7 @@ class ImageEncoderViT(nn.Module):
     use_flash_relpos: bool = False
     window_backend: str = "packed"
     window_wpp: int = 1
+    window_wcp: int = 0
     global_backend: str = "flash"
 
     @nn.compact
@@ -408,6 +422,7 @@ class ImageEncoderViT(nn.Module):
             use_flash_relpos=self.use_flash_relpos,
             window_backend=self.window_backend,
             window_wpp=self.window_wpp,
+            window_wcp=self.window_wcp,
             global_backend=self.global_backend,
             name="blocks",
         )(x, is_global)

@@ -43,6 +43,7 @@ class Sam(nn.Module):
     use_flash_relpos: bool = True
     window_backend: str = "packed"  # "packed" | "flash" | "xla_aug"
     window_wpp: int = 1
+    window_wcp: int = 0  # 0 = auto
     global_backend: str = "flash"  # "packed" | "flash"
 
     def setup(self):
@@ -61,6 +62,7 @@ class Sam(nn.Module):
             use_flash_relpos=self.use_flash_relpos,
             window_backend=self.window_backend,
             window_wpp=self.window_wpp,
+            window_wcp=self.window_wcp,
             global_backend=self.global_backend,
         )
         self.prompt_encoder = PromptEncoder(

@@ -355,7 +355,7 @@ def global_packed_attention(qkv: jax.Array, bias: jax.Array,
 
 
 def _window_packed_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref, *,
-                          nh, hd, win, scale):
+                          nh, hd, win, scale, wcp=1):
     """One program per (batch, window-row, window-col): the window's packed
     (win², 3C) qkv block and its (win², nh*2*win) compact-bias block live
     in VMEM; per head the augmented operands are assembled into scratch
@@ -368,10 +368,9 @@ def _window_packed_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref, *,
     sw = win * win
     c = nh * hd
     aug = hd + 2 * win
-    data = qkv_ref[0, 0, :, 0, :, :].reshape(sw, 3 * c)
-    bias = bias_ref[0, 0, :, 0, :, :].reshape(sw, nh * 2 * win)
 
-    # selector + zero tail lanes, once per program
+    # selector + zero tail lanes, once per program (amortized over
+    # wcp * nh head dots)
     r = lax.broadcasted_iota(jnp.int32, (sw, 128 - hd), 0)
     j = lax.broadcasted_iota(jnp.int32, (sw, 128 - hd), 1)
     # pure logical masks: a boolean select_n with a scalar False lowers to
@@ -381,41 +380,49 @@ def _window_packed_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref, *,
     ka_ref[:, hd:] = (sel_h | sel_w).astype(ka_ref.dtype)
     qa_ref[:, aug:] = jnp.zeros((sw, 128 - aug), qa_ref.dtype)
 
-    for h in range(nh):
-        qa_ref[:, :hd] = (data[:, h * hd:(h + 1) * hd].astype(jnp.float32)
-                          * scale).astype(qa_ref.dtype)
-        qa_ref[:, hd:aug] = bias[:, h * 2 * win:(h + 1) * 2 * win]
-        ka_ref[:, :hd] = data[:, c + h * hd:c + (h + 1) * hd]
-        scores = lax.dot_general(
-            qa_ref[...], ka_ref[...],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (S_w, S_w)
-        m = jnp.max(scores, axis=1, keepdims=True)
-        p = jnp.exp(scores - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        v = data[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
-        acc = lax.dot_general(
-            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        out_ref[0, 0, :, 0, :, h * hd:(h + 1) * hd] = (
-            (acc / l).astype(out_ref.dtype).reshape(win, win, hd))
+    for wi in range(wcp):
+        data = qkv_ref[0, 0, :, wi, :, :].reshape(sw, 3 * c)
+        bias = bias_ref[0, 0, :, wi, :, :].reshape(sw, nh * 2 * win)
+        for h in range(nh):
+            qa_ref[:, :hd] = (data[:, h * hd:(h + 1) * hd]
+                              .astype(jnp.float32)
+                              * scale).astype(qa_ref.dtype)
+            qa_ref[:, hd:aug] = bias[:, h * 2 * win:(h + 1) * 2 * win]
+            ka_ref[:, :hd] = data[:, c + h * hd:c + (h + 1) * hd]
+            scores = lax.dot_general(
+                qa_ref[...], ka_ref[...],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (S_w, S_w)
+            m = jnp.max(scores, axis=1, keepdims=True)
+            p = jnp.exp(scores - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            v = data[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            acc = lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[0, 0, :, wi, :, h * hd:(h + 1) * hd] = (
+                (acc / l).astype(out_ref.dtype).reshape(win, win, hd))
 
 
 @functools.partial(jax.jit, static_argnames=("win", "nh", "scale",
-                                             "interpret"))
-def _call_window_packed(qkv_pad, bias_pad, win, nh, scale, interpret):
+                                             "interpret", "wcp"))
+def _call_window_packed(qkv_pad, bias_pad, win, nh, scale, interpret,
+                        wcp=1):
     b, hp, wp, c3 = qkv_pad.shape
     c = c3 // 3
     hd = c // nh
     nwy, nwx = hp // win, wp // win
+    if nwx % wcp:
+        raise ValueError(f"wcp={wcp} must divide nwx={nwx}")
     r6 = lambda x: x.reshape(b, nwy, win, nwx, win, x.shape[-1])
     blk = lambda last: pl.BlockSpec(
-        (1, 1, win, 1, win, last),
+        (1, 1, win, wcp, win, last),
         lambda i, y, x: (i, y, 0, x, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_window_packed_kernel, nh=nh, hd=hd, win=win,
-                          scale=scale),
-        grid=(b, nwy, nwx),
+                          scale=scale, wcp=wcp),
+        grid=(b, nwy, nwx // wcp),
         in_specs=[blk(c3), blk(nh * 2 * win)],
         out_specs=blk(c),
         out_shape=jax.ShapeDtypeStruct((b, nwy, win, nwx, win, c),
@@ -431,7 +438,8 @@ def _call_window_packed(qkv_pad, bias_pad, win, nh, scale, interpret):
 
 def window_packed_attention(qkv_pad: jax.Array, bias_pad: jax.Array,
                             win: int, num_heads: int, scale: float,
-                            interpret: bool | None = None) -> jax.Array:
+                            interpret: bool | None = None,
+                            wcp: int = 1) -> jax.Array:
     """Fused windowed ViTDet attention over PACKED operands.
 
     qkv_pad: (B, Hp, Wp, 3C), window-padded with the qkv projection's BIAS
@@ -442,12 +450,15 @@ def window_packed_attention(qkv_pad: jax.Array, bias_pad: jax.Array,
     [bias_h | bias_w] per head (zero-padded rows/cols: pad QUERY rows are
     discarded, so their bias is irrelevant; bias columns of valid queries
     are q-dependent only).  Hp/Wp must be multiples of ``win``.
+    ``wcp`` = window-columns per program (must divide Wp//win): >1
+    amortizes the per-program selector setup and issues one contiguous
+    (win, wcp*win, 3C) row-block DMA instead of wcp strided ones.
     Returns (B, Hp, Wp, C).
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     return _call_window_packed(qkv_pad, bias_pad, win, num_heads,
-                               float(scale), interpret)
+                               float(scale), interpret, wcp)
 
 
 def window_attention_xla_aug(q: jax.Array, k: jax.Array, v: jax.Array,

@@ -252,6 +252,10 @@ def test_window_packed_matches_reference(rng):
 
     got = np.asarray(window_packed_attention(
         qkv_pad, bias, win, nh, scale, interpret=True))[:, :h, :w]
+    # wcp=2 (multi-window programs; wp=8 -> nwx=2) must be bit-identical
+    got_wcp = np.asarray(window_packed_attention(
+        qkv_pad, bias, win, nh, scale, interpret=True, wcp=2))[:, :h, :w]
+    np.testing.assert_array_equal(got, got_wcp)
 
     # reference: partition the SAME bias-padded qkv, einsum per window
     from protosam_tpu.models.sam.image_encoder import (

@@ -1,8 +1,10 @@
 #!/usr/bin/env python3
 """On-chip bench of the SAM ViTDet image encoder alone (batch 8, 1024²).
 
-Usage: python tools/bench_sam_encoder.py [reps] [sam_ver] [backend]
-backend: packed (default) | flash | xla_aug
+Usage: python tools/bench_sam_encoder.py [reps] [sam_ver] [backend] [gbackend] [wcp]
+backend: packed (default) | flash | xla_aug   (windowed layers)
+gbackend: flash (default) | packed            (global layers)
+wcp: window-cols per program for the packed backend (default 0 = auto)
 """
 
 import os
@@ -20,11 +22,14 @@ def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     ver = sys.argv[2] if len(sys.argv) > 2 else "vit_b"
     backend = sys.argv[3] if len(sys.argv) > 3 else "packed"
+    gbackend = sys.argv[4] if len(sys.argv) > 4 else "flash"
+    wcp = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
     from protosam_tpu.models.sam import build_sam
     from protosam_tpu.utils.synthetic import synthetic_params
 
-    sam = build_sam(ver, dtype=jnp.bfloat16, window_backend=backend)
+    sam = build_sam(ver, dtype=jnp.bfloat16, window_backend=backend,
+                    global_backend=gbackend, window_wcp=wcp)
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (8, sam.image_size, sam.image_size, 3)) * 0.5, jnp.float32)
     shapes = jax.eval_shape(
@@ -50,8 +55,8 @@ def main():
         t0 = time.time(); float(prog(params, xr))
         best = min(best, time.time() - t0)
     per = (best - 0.05) / reps * 1000
-    print(f"sam {ver} encoder batch-8 [{backend}]: {per:.1f} ms/call "
-          f"(compile {comp:.0f}s)", flush=True)
+    print(f"sam {ver} encoder batch-8 [w={backend} g={gbackend} "
+          f"wcp={wcp}]: {per:.1f} ms/call (compile {comp:.0f}s)", flush=True)
 
     if os.environ.get("TRACE"):
         with jax.profiler.trace("/tmp/samtrace"):
