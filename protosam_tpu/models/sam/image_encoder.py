@@ -28,7 +28,14 @@ from flax import linen as nn
 
 from protosam_tpu.models.layers import LayerNorm2d, MLPBlock
 
-_gelu = functools.partial(nn.gelu, approximate=False)
+def _gelu(x):
+    """Exact erf GELU on TPU lowers to a multi-fusion f32 erfc with
+    bit-packed sign predicates (~70 ms/batch-8 across both encoders in the
+    r2 device trace); the tanh approximation's max error (5e-4) is 30x
+    below the bf16 quantization noise floor (1.6e-2), so the bf16
+    production path uses it.  float32 -- the strict-parity dtype
+    (PARITY.md) -- keeps exact erf."""
+    return nn.gelu(x, approximate=x.dtype == jnp.bfloat16)
 
 
 def window_partition(x: jax.Array, window: int) -> tuple[jax.Array, tuple[int, int]]:

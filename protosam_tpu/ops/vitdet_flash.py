@@ -258,20 +258,23 @@ def window_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def _global_packed_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref,
-                          qa_ref, ka_ref, *, gh, gw, hd, scale):
-    """One program per (batch, head, q-row-block) over the PACKED qkv.
+                          qa_ref, ka_ref, *, gh, gw, hd, hpb, scale):
+    """One program per (batch, head-GROUP, q-row-block) over the PACKED
+    qkv.
 
-    The grid's lane-block indexing slices the head straight out of the
-    (B, H, W, 3C) projection (q at lane-block h, k at nh+h, v at 2nh+h),
-    so no head-split transpose exists in HBM.  k_aug = [k | selectors]
-    lives in scratch and is rebuilt only when the (batch, head) changes
-    (q-block is the innermost grid dim); q_aug = [q*scale | bias] is
-    assembled per program.  One full-width dot then yields
+    Mosaic requires lane-block widths to be 128-multiples, so heads are
+    grouped ``hpb`` per block (hpb*hd % 128 == 0; 2 for head_dim 64, 8
+    for ViT-H's 80) and sliced in-kernel — no head-split transpose ever
+    exists in HBM.  k_aug = [k | selectors] lives in scratch (one buffer
+    per head in the group) and is rebuilt only when the (batch, group)
+    changes (q-block is the innermost grid dim); q_aug = [q*scale | bias]
+    is assembled per program.  One full-width dot then yields
     scores + decomposed rel-pos bias exactly (see _aug_kernel).
     """
     rows = q_ref.shape[1]
     nq, s = rows * gw, gh * gw
     aug = hd + gh + gw
+    hw = hpb * hd
 
     @pl.when(pl.program_id(2) == 0)
     def _build_ka():
@@ -279,24 +282,32 @@ def _global_packed_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref,
         j = lax.broadcasted_iota(jnp.int32, (s, gh + gw), 1)
         sel_h = ((r // gw) == j) & (j < gh)
         sel_w = ((r % gw) == (j - gh)) & (j >= gh)
-        ka_ref[:, hd:] = (sel_h | sel_w).astype(ka_ref.dtype)
-        ka_ref[:, :hd] = k_ref[0].reshape(s, hd)
+        sel = (sel_h | sel_w).astype(ka_ref.dtype)
+        kk = k_ref[0].reshape(s, hw)
+        for i in range(hpb):
+            ka_ref[i, :, hd:] = sel
+            ka_ref[i, :, :hd] = kk[:, i * hd:(i + 1) * hd]
 
-    qa_ref[:, :hd] = (q_ref[0].reshape(nq, hd).astype(jnp.float32)
-                      * scale).astype(qa_ref.dtype)
-    qa_ref[:, hd:] = bias_ref[0].reshape(nq, gh + gw)
-    scores = lax.dot_general(
-        qa_ref[...], ka_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # (nq, S)
-    m = jnp.max(scores, axis=1, keepdims=True)
-    p = jnp.exp(scores - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    v = v_ref[0].reshape(s, hd)
-    acc = lax.dot_general(
-        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    out_ref[0] = (acc / l).astype(out_ref.dtype).reshape(rows, gw, hd)
+    qq = q_ref[0].reshape(nq, hw)
+    bb = bias_ref[0].reshape(nq, hpb * (gh + gw))
+    vv = v_ref[0].reshape(s, hw)
+    for i in range(hpb):
+        qa_ref[:, :hd] = (qq[:, i * hd:(i + 1) * hd].astype(jnp.float32)
+                          * scale).astype(qa_ref.dtype)
+        qa_ref[:, hd:] = bb[:, i * (gh + gw):(i + 1) * (gh + gw)]
+        scores = lax.dot_general(
+            qa_ref[...], ka_ref[i],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (nq, S)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        p = jnp.exp(scores - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        acc = lax.dot_general(
+            p.astype(vv.dtype), vv[:, i * hd:(i + 1) * hd],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[0, :, :, i * hd:(i + 1) * hd] = (
+            (acc / l).astype(out_ref.dtype).reshape(rows, gw, hd))
 
 
 @functools.partial(jax.jit, static_argnames=("nh", "rows_per_blk", "scale",
@@ -305,32 +316,44 @@ def _call_global_packed(qkv, bias, nh, rows_per_blk, scale, interpret):
     b, gh, gw, c3 = qkv.shape
     c = c3 // 3
     hd = c // nh
+    # heads per lane block: smallest group whose lane width is a
+    # 128-multiple (Mosaic block constraint) and divides the head count
+    hpb = next((h for h in range(1, nh + 1)
+                if (h * hd) % 128 == 0 and nh % h == 0), None)
+    if hpb is None:
+        if not interpret:
+            raise ValueError(
+                f"global packed: no head grouping with 128-multiple lanes "
+                f"for nh={nh}, head_dim={hd}")
+        hpb = nh  # interpret mode (test-size geometries): no constraint
     aug = hd + gh + gw
-    grid = (b, nh, gh // rows_per_blk)
+    hw = hpb * hd
+    ng = nh // hpb
+    grid = (b, ng, gh // rows_per_blk)
     out = pl.pallas_call(
         functools.partial(_global_packed_kernel, gh=gh, gw=gw, hd=hd,
-                          scale=scale),
+                          hpb=hpb, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, rows_per_blk, gw, hd),
+            pl.BlockSpec((1, rows_per_blk, gw, hw),
                          lambda i, h, j: (i, j, 0, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gh, gw, hd),
-                         lambda i, h, j, nh=nh: (i, 0, 0, nh + h),
+            pl.BlockSpec((1, gh, gw, hw),
+                         lambda i, h, j, ng=ng: (i, 0, 0, ng + h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gh, gw, hd),
-                         lambda i, h, j, nh=nh: (i, 0, 0, 2 * nh + h),
+            pl.BlockSpec((1, gh, gw, hw),
+                         lambda i, h, j, ng=ng: (i, 0, 0, 2 * ng + h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows_per_blk, gw, gh + gw),
+            pl.BlockSpec((1, rows_per_blk, gw, hpb * (gh + gw)),
                          lambda i, h, j: (i, j, 0, h),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, rows_per_blk, gw, hd),
+        out_specs=pl.BlockSpec((1, rows_per_blk, gw, hw),
                                lambda i, h, j: (i, j, 0, h),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, gh, gw, c), qkv.dtype),
         scratch_shapes=[pltpu.VMEM((rows_per_blk * gw, aug), qkv.dtype),
-                        pltpu.VMEM((gh * gw, aug), qkv.dtype)],
+                        pltpu.VMEM((hpb, gh * gw, aug), qkv.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
