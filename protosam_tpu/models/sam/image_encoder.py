@@ -138,7 +138,7 @@ class Attention(nn.Module):
     window_wpp: int = 1  # windows per pallas program ("flash" backend)
     window_wcp: int = 0  # window-cols per program; 0 = auto (full row)
     window_size: int = 14
-    global_backend: str = "flash"  # "packed" | "flash" (heads-first aug); packed pending on-chip validation
+    global_backend: str = "packed"  # "packed" | "flash" (heads-first aug)
 
     @nn.compact
     def __call__(self, x: jax.Array, is_global=None) -> jax.Array:
@@ -347,7 +347,7 @@ class Block(nn.Module):
     window_backend: str = "packed"
     window_wpp: int = 1
     window_wcp: int = 0
-    global_backend: str = "flash"
+    global_backend: str = "packed"
 
     def setup(self):
         self.norm1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
@@ -394,7 +394,7 @@ class ImageEncoderViT(nn.Module):
     window_backend: str = "packed"
     window_wpp: int = 1
     window_wcp: int = 0
-    global_backend: str = "flash"
+    global_backend: str = "packed"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:

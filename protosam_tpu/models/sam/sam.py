@@ -44,7 +44,7 @@ class Sam(nn.Module):
     window_backend: str = "packed"  # "packed" | "flash" | "xla_aug"
     window_wpp: int = 1
     window_wcp: int = 0  # 0 = auto
-    global_backend: str = "flash"  # "packed" | "flash"
+    global_backend: str = "packed"  # "packed" | "flash"
 
     def setup(self):
         grid = self.image_size // self.vit_patch_size
