@@ -24,6 +24,8 @@ from protosam_tpu.ops.attention import multi_head_attention_bhsd
 
 import functools
 
+from protosam_tpu.models.layers import TokenLayerNorm
+
 def _gelu(x):
     """Exact erf GELU on TPU lowers to a multi-fusion f32 erfc with
     bit-packed sign predicates (~70 ms/batch-8 across both encoders in the
@@ -97,11 +99,11 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array):
         c = x.shape[-1]
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = TokenLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = Attention(self.num_heads, self.dtype,
                       valid_tokens=self.valid_tokens, name="attn")(y)
         x = x + LayerScale(self.dtype, name="ls1")(y)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = TokenLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(y)
         y = _gelu(y)

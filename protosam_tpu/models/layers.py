@@ -36,6 +36,30 @@ class LayerNorm2d(nn.Module):
         return (y * w + b).astype(self.dtype)
 
 
+class TokenLayerNorm(nn.Module):
+    """Drop-in nn.LayerNorm over the last axis, Pallas-backed on TPU.
+
+    Identical param tree (scale/bias, f32) and numerics to nn.LayerNorm;
+    exists to pin the transformer residual stream to the natural {2,1,0}
+    layout — XLA otherwise transposes the whole stream to keep LN off
+    lane-reductions, halving fc2/proj matmul rates (see
+    ops/norm.layer_norm_tokens).
+    """
+
+    epsilon: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from protosam_tpu.ops.norm import layer_norm_tokens
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return layer_norm_tokens(x, scale, bias, epsilon=self.epsilon,
+                                 out_dtype=self.dtype)
+
+
 class MLPBlock(nn.Module):
     """Linear -> act -> Linear (reference common.py:13-26)."""
 

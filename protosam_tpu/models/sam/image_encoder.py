@@ -26,7 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from protosam_tpu.models.layers import LayerNorm2d, MLPBlock
+from protosam_tpu.models.layers import (
+    LayerNorm2d,
+    MLPBlock,
+    TokenLayerNorm,
+)
 
 def _gelu(x):
     """Exact erf GELU on TPU lowers to a multi-fusion f32 erfc with
@@ -274,8 +278,9 @@ class Attention(nn.Module):
                 wcp = max(d for d in range(1, nwx + 1) if nwx % d == 0
                           and win * win * d * 3 * c * 2 <= 8 * 2 ** 20)
             out = window_packed_attention(pad_qkv(qkv), bias, win, nh,
-                                          scale, interpret=False,
-                                          wcp=wcp)
+                                          scale, interpret=False, wcp=wcp,
+                                          flat=self.window_backend
+                                          == "packed_flat")
             return out[:, :h, :w]
 
         def partition_windows(qkv):
@@ -318,7 +323,8 @@ class Attention(nn.Module):
         def window_attn(qkv):
             if not self.use_flash_relpos:
                 return window_chunked(qkv)
-            tpu = (window_packed if self.window_backend == "packed"
+            tpu = (window_packed
+                   if self.window_backend in ("packed", "packed_flat")
                    else window_kernel)
             return jax.lax.platform_dependent(qkv, cpu=window_chunked,
                                               default=tpu)
@@ -350,7 +356,7 @@ class Block(nn.Module):
     global_backend: str = "packed"
 
     def setup(self):
-        self.norm1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
+        self.norm1 = TokenLayerNorm(epsilon=1e-6, dtype=self.dtype)
         self.attn = Attention(self.num_heads, self.use_rel_pos, self.dtype,
                               table_rows=2 * self.grid_size - 1,
                               use_flash_relpos=self.use_flash_relpos,
@@ -359,7 +365,7 @@ class Block(nn.Module):
                               window_wcp=self.window_wcp,
                               window_size=self.window_size,
                               global_backend=self.global_backend)
-        self.norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
+        self.norm2 = TokenLayerNorm(epsilon=1e-6, dtype=self.dtype)
         self.mlp = MLPBlock(int(self.embed_dim * self.mlp_ratio), _gelu,
                             self.dtype)
 

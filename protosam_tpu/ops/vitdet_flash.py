@@ -459,10 +459,84 @@ def _call_window_packed(qkv_pad, bias_pad, win, nh, scale, interpret,
     return out.reshape(b, hp, wp, c)
 
 
+def _window_packed_flat_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref,
+                               *, nh, hd, win, scale, nwx):
+    """Full-window-row programs over the FLAT (B, Hp, Wp, 3C) array.
+
+    The 6-D window reshape of the blocked variant is a sublane relayout
+    in HBM (tiling pads each 14-row window block to 16 sublanes), which
+    XLA materializes as whole-tensor copies on both sides of the kernel —
+    ~4 ms/layer on ViT-H.  Here the BlockSpec keeps the array 4-D (legal:
+    the second-to-last block dim spans the full padded width) and each
+    window's (win², ·) view is assembled in-kernel by the same per-head
+    scratch copies the kernel already does."""
+    sw = win * win
+    c = nh * hd
+    aug = hd + 2 * win
+
+    r = lax.broadcasted_iota(jnp.int32, (sw, 128 - hd), 0)
+    j = lax.broadcasted_iota(jnp.int32, (sw, 128 - hd), 1)
+    sel_h = ((r // win) == j) & (j < win)
+    sel_w = ((r % win) == (j - win)) & (j >= win) & (j < 2 * win)
+    ka_ref[:, hd:] = (sel_h | sel_w).astype(ka_ref.dtype)
+    qa_ref[:, aug:] = jnp.zeros((sw, 128 - aug), qa_ref.dtype)
+
+    for wi in range(nwx):
+        cols = slice(wi * win, (wi + 1) * win)
+        data = qkv_ref[0, :, cols, :].reshape(sw, 3 * c)
+        bias = bias_ref[0, :, cols, :].reshape(sw, nh * 2 * win)
+        for h in range(nh):
+            qa_ref[:, :hd] = (data[:, h * hd:(h + 1) * hd]
+                              .astype(jnp.float32)
+                              * scale).astype(qa_ref.dtype)
+            qa_ref[:, hd:aug] = bias[:, h * 2 * win:(h + 1) * 2 * win]
+            ka_ref[:, :hd] = data[:, c + h * hd:c + (h + 1) * hd]
+            scores = lax.dot_general(
+                qa_ref[...], ka_ref[...],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m = jnp.max(scores, axis=1, keepdims=True)
+            p = jnp.exp(scores - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            v = data[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            acc = lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[0, :, cols, h * hd:(h + 1) * hd] = (
+                (acc / l).astype(out_ref.dtype).reshape(win, win, hd))
+
+
+@functools.partial(jax.jit, static_argnames=("win", "nh", "scale",
+                                             "interpret"))
+def _call_window_packed_flat(qkv_pad, bias_pad, win, nh, scale, interpret):
+    b, hp, wp, c3 = qkv_pad.shape
+    c = c3 // 3
+    hd = c // nh
+    nwy, nwx = hp // win, wp // win
+    blk = lambda last: pl.BlockSpec(
+        (1, win, wp, last), lambda i, y: (i, y, 0, 0),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_window_packed_flat_kernel, nh=nh, hd=hd,
+                          win=win, scale=scale, nwx=nwx),
+        grid=(b, nwy),
+        in_specs=[blk(c3), blk(nh * 2 * win)],
+        out_specs=blk(c),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), qkv_pad.dtype),
+        scratch_shapes=[pltpu.VMEM((win * win, 128), qkv_pad.dtype),
+                        pltpu.VMEM((win * win, 128), qkv_pad.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(qkv_pad, bias_pad)
+    return out
+
+
 def window_packed_attention(qkv_pad: jax.Array, bias_pad: jax.Array,
                             win: int, num_heads: int, scale: float,
                             interpret: bool | None = None,
-                            wcp: int = 1) -> jax.Array:
+                            wcp: int = 1, flat: bool = False) -> jax.Array:
     """Fused windowed ViTDet attention over PACKED operands.
 
     qkv_pad: (B, Hp, Wp, 3C), window-padded with the qkv projection's BIAS
@@ -480,6 +554,9 @@ def window_packed_attention(qkv_pad: jax.Array, bias_pad: jax.Array,
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
+    if flat:
+        return _call_window_packed_flat(qkv_pad, bias_pad, win, num_heads,
+                                        float(scale), interpret)
     return _call_window_packed(qkv_pad, bias_pad, win, num_heads,
                                float(scale), interpret, wcp)
 

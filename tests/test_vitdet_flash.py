@@ -256,6 +256,11 @@ def test_window_packed_matches_reference(rng):
     got_wcp = np.asarray(window_packed_attention(
         qkv_pad, bias, win, nh, scale, interpret=True, wcp=2))[:, :h, :w]
     np.testing.assert_array_equal(got, got_wcp)
+    # flat 4-D variant (no 6-D reshape) must be bit-identical too
+    got_flat = np.asarray(window_packed_attention(
+        qkv_pad, bias, win, nh, scale, interpret=True,
+        flat=True))[:, :h, :w]
+    np.testing.assert_array_equal(got, got_flat)
 
     # reference: partition the SAME bias-padded qkv, einsum per window
     from protosam_tpu.models.sam.image_encoder import (
