@@ -138,7 +138,7 @@ class Attention(nn.Module):
     # "packed" (BlockSpec-partition kernel) | "flash" (per-window kernel on
     # partitioned tensors) | "xla_aug" (no pallas); non-packed backends are
     # kept for A/B and measurement history (ROUND_NOTES.md)
-    window_backend: str = "packed"
+    window_backend: str = "packed_flat"
     window_wpp: int = 1  # windows per pallas program ("flash" backend)
     window_wcp: int = 0  # window-cols per program; 0 = auto (full row)
     window_size: int = 14
@@ -350,7 +350,7 @@ class Block(nn.Module):
     embed_dim: int = 768
     dtype: jnp.dtype = jnp.float32
     use_flash_relpos: bool = False
-    window_backend: str = "packed"
+    window_backend: str = "packed_flat"
     window_wpp: int = 1
     window_wcp: int = 0
     global_backend: str = "packed"
@@ -397,7 +397,7 @@ class ImageEncoderViT(nn.Module):
     # use_grad_checkpointing flag, image_encoder.py:36, 113-118)
     remat: bool = False
     use_flash_relpos: bool = False
-    window_backend: str = "packed"
+    window_backend: str = "packed_flat"
     window_wpp: int = 1
     window_wcp: int = 0
     global_backend: str = "packed"

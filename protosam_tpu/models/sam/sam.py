@@ -41,7 +41,7 @@ class Sam(nn.Module):
     # (ops/vitdet_flash.py, 2.9x over chunked XLA on v5e); lowering for CPU
     # falls back to the chunked path via jax.lax.platform_dependent.
     use_flash_relpos: bool = True
-    window_backend: str = "packed"  # "packed" | "flash" | "xla_aug"
+    window_backend: str = "packed_flat"  # "packed_flat" | "packed" | "flash" | "xla_aug"
     window_wpp: int = 1
     window_wcp: int = 0  # 0 = auto
     global_backend: str = "packed"  # "packed" | "flash"
