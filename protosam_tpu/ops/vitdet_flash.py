@@ -460,7 +460,7 @@ def _call_window_packed(qkv_pad, bias_pad, win, nh, scale, interpret,
 
 
 def _window_packed_flat_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref,
-                               *, nh, hd, win, scale, nwx):
+                               *, nh, hd, win, scale, nwx, nbuf=1):
     """Full-window-row programs over the FLAT (B, Hp, Wp, 3C) array.
 
     The 6-D window reshape of the blocked variant is a sublane relayout
@@ -478,21 +478,30 @@ def _window_packed_flat_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref,
     j = lax.broadcasted_iota(jnp.int32, (sw, 128 - hd), 1)
     sel_h = ((r // win) == j) & (j < win)
     sel_w = ((r % win) == (j - win)) & (j >= win) & (j < 2 * win)
-    ka_ref[:, hd:] = (sel_h | sel_w).astype(ka_ref.dtype)
-    qa_ref[:, aug:] = jnp.zeros((sw, 128 - aug), qa_ref.dtype)
+    for bno in range(nbuf):
+        ka_ref[bno, :, hd:] = (sel_h | sel_w).astype(ka_ref.dtype)
+        qa_ref[bno, :, aug:] = jnp.zeros((sw, 128 - aug), qa_ref.dtype)
 
+    # qa/ka scratch rotates over nbuf buffers: with one buffer every
+    # unrolled (window, head) iteration has a write-after-read hazard on
+    # the scratch, serializing the whole chain; alternating buffers lets
+    # Mosaic overlap iteration i's softmax (VPU) with i+1's operand
+    # copies and score dot (MXU).
+    it = 0
     for wi in range(nwx):
         cols = slice(wi * win, (wi + 1) * win)
         data = qkv_ref[0, :, cols, :].reshape(sw, 3 * c)
         bias = bias_ref[0, :, cols, :].reshape(sw, nh * 2 * win)
         for h in range(nh):
-            qa_ref[:, :hd] = (data[:, h * hd:(h + 1) * hd]
-                              .astype(jnp.float32)
-                              * scale).astype(qa_ref.dtype)
-            qa_ref[:, hd:aug] = bias[:, h * 2 * win:(h + 1) * 2 * win]
-            ka_ref[:, :hd] = data[:, c + h * hd:c + (h + 1) * hd]
+            bno = it % nbuf
+            it += 1
+            qa_ref[bno, :, :hd] = (data[:, h * hd:(h + 1) * hd]
+                                   .astype(jnp.float32)
+                                   * scale).astype(qa_ref.dtype)
+            qa_ref[bno, :, hd:aug] = bias[:, h * 2 * win:(h + 1) * 2 * win]
+            ka_ref[bno, :, :hd] = data[:, c + h * hd:c + (h + 1) * hd]
             scores = lax.dot_general(
-                qa_ref[...], ka_ref[...],
+                qa_ref[bno], ka_ref[bno],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             m = jnp.max(scores, axis=1, keepdims=True)
@@ -508,8 +517,9 @@ def _window_packed_flat_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("win", "nh", "scale",
-                                             "interpret"))
-def _call_window_packed_flat(qkv_pad, bias_pad, win, nh, scale, interpret):
+                                             "interpret", "nbuf"))
+def _call_window_packed_flat(qkv_pad, bias_pad, win, nh, scale, interpret,
+                             nbuf=2):
     b, hp, wp, c3 = qkv_pad.shape
     c = c3 // 3
     hd = c // nh
@@ -519,13 +529,13 @@ def _call_window_packed_flat(qkv_pad, bias_pad, win, nh, scale, interpret):
         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_window_packed_flat_kernel, nh=nh, hd=hd,
-                          win=win, scale=scale, nwx=nwx),
+                          win=win, scale=scale, nwx=nwx, nbuf=nbuf),
         grid=(b, nwy),
         in_specs=[blk(c3), blk(nh * 2 * win)],
         out_specs=blk(c),
         out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), qkv_pad.dtype),
-        scratch_shapes=[pltpu.VMEM((win * win, 128), qkv_pad.dtype),
-                        pltpu.VMEM((win * win, 128), qkv_pad.dtype)],
+        scratch_shapes=[pltpu.VMEM((nbuf, win * win, 128), qkv_pad.dtype),
+                        pltpu.VMEM((nbuf, win * win, 128), qkv_pad.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
