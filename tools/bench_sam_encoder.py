@@ -2,8 +2,8 @@
 """On-chip bench of the SAM ViTDet image encoder alone (batch 8, 1024²).
 
 Usage: python tools/bench_sam_encoder.py [reps] [sam_ver] [backend] [gbackend] [wcp]
-backend: packed (default) | flash | xla_aug   (windowed layers)
-gbackend: flash (default) | packed            (global layers)
+backend: packed_flat (default) | packed | flash | xla_aug   (windowed layers)
+gbackend: packed (default) | flash            (global layers)
 wcp: window-cols per program for the packed backend (default 0 = auto)
 """
 
@@ -21,8 +21,8 @@ import numpy as np
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     ver = sys.argv[2] if len(sys.argv) > 2 else "vit_b"
-    backend = sys.argv[3] if len(sys.argv) > 3 else "packed"
-    gbackend = sys.argv[4] if len(sys.argv) > 4 else "flash"
+    backend = sys.argv[3] if len(sys.argv) > 3 else "packed_flat"
+    gbackend = sys.argv[4] if len(sys.argv) > 4 else "packed"
     wcp = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
     from protosam_tpu.models.sam import build_sam
