@@ -39,10 +39,13 @@ def _masked_kernel(q_ref, k_ref, v_ref, out_ref, *, scale, n_valid):
         cols = lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(cols >= n_valid, -jnp.inf, scores)
     m = jnp.max(scores, axis=1, keepdims=True)
-    p = jnp.exp(scores - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
+    # exp lands directly in the PV operand dtype — saves one full pass
+    # over the score matrix (the separate f32->bf16 cast); the row-sum
+    # still accumulates in f32.  Exact no-op when v is f32.
+    p = jnp.exp(scores - m).astype(v_ref.dtype)
+    l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
     acc = lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0],
+        p, v_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     out_ref[0] = (acc / l).astype(out_ref.dtype)
@@ -126,10 +129,10 @@ def _packed_kernel(qkv_ref, out_ref, *, scale, n_valid, nh, hd):
             cols = lax.broadcasted_iota(jnp.int32, scores.shape, 1)
             scores = jnp.where(cols >= n_valid, -jnp.inf, scores)
         m = jnp.max(scores, axis=1, keepdims=True)
-        p = jnp.exp(scores - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.exp(scores - m).astype(v.dtype)
+        l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
         acc = lax.dot_general(
-            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return (acc / l).astype(out_ref.dtype)
 

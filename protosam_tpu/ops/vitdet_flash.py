@@ -67,10 +67,13 @@ def _aug_kernel(q_ref, k_ref, v_ref, out_ref):
         preferred_element_type=jnp.float32)         # (blk, S)
 
     m = jnp.max(scores, axis=1, keepdims=True)
-    p = jnp.exp(scores - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
+    # exp lands directly in the PV operand dtype — saves one full pass
+    # over the score matrix (the separate f32->bf16 cast); the row-sum
+    # still accumulates in f32.  Exact no-op when v is f32.
+    p = jnp.exp(scores - m).astype(v_ref.dtype)
+    l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
     acc = lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0],
+        p, v_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     out_ref[0] = (acc / l).astype(out_ref.dtype)
@@ -300,10 +303,10 @@ def _global_packed_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)            # (nq, S)
         m = jnp.max(scores, axis=1, keepdims=True)
-        p = jnp.exp(scores - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.exp(scores - m).astype(vv.dtype)
+        l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
         acc = lax.dot_general(
-            p.astype(vv.dtype), vv[:, i * hd:(i + 1) * hd],
+            p, vv[:, i * hd:(i + 1) * hd],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         out_ref[0, :, :, i * hd:(i + 1) * hd] = (
@@ -417,11 +420,11 @@ def _window_packed_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref, *,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # (S_w, S_w)
             m = jnp.max(scores, axis=1, keepdims=True)
-            p = jnp.exp(scores - m)
-            l = jnp.sum(p, axis=1, keepdims=True)
             v = data[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            p = jnp.exp(scores - m).astype(v.dtype)
+            l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
             acc = lax.dot_general(
-                p.astype(v.dtype), v,
+                p, v,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             out_ref[0, 0, :, wi, :, h * hd:(h + 1) * hd] = (
@@ -505,11 +508,11 @@ def _window_packed_flat_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             m = jnp.max(scores, axis=1, keepdims=True)
-            p = jnp.exp(scores - m)
-            l = jnp.sum(p, axis=1, keepdims=True)
             v = data[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            p = jnp.exp(scores - m).astype(v.dtype)
+            l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
             acc = lax.dot_general(
-                p.astype(v.dtype), v,
+                p, v,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             out_ref[0, :, cols, h * hd:(h + 1) * hd] = (
