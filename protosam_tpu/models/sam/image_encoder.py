@@ -215,12 +215,19 @@ class Attention(nn.Module):
             from protosam_tpu.ops.vitdet_flash import global_packed_attention
 
             q_all = qkv[..., :c].reshape(b, h, w, nh, head_dim)
-            bias_h = jnp.einsum("byxhc,ykc->byxhk", q_all.astype(jnp.float32),
-                                Rh.astype(jnp.float32))
-            bias_w = jnp.einsum("byxhc,xkc->byxhk", q_all.astype(jnp.float32),
-                                Rw.astype(jnp.float32))
-            bias = jnp.concatenate([bias_h, bias_w], axis=-1)
-            bias = bias.reshape(b, h, w, nh * (h + w)).astype(qkv.dtype)
+            # einsums land straight in the kernel dtype (f32 accumulation
+            # via preferred_element_type — identical to computing f32 and
+            # rounding at the end, but the concat/reshape chain moves
+            # half the bytes)
+            bias_h = jnp.einsum("byxhc,ykc->byxhk", q_all,
+                                Rh.astype(q_all.dtype),
+                                preferred_element_type=jnp.float32)
+            bias_w = jnp.einsum("byxhc,xkc->byxhk", q_all,
+                                Rw.astype(q_all.dtype),
+                                preferred_element_type=jnp.float32)
+            bias = jnp.concatenate([bias_h.astype(qkv.dtype),
+                                    bias_w.astype(qkv.dtype)], axis=-1)
+            bias = bias.reshape(b, h, w, nh * (h + w))
             return global_packed_attention(
                 qkv, bias, nh, scale, rows_per_blk=self.flash_q_rows,
                 interpret=False)
@@ -256,14 +263,15 @@ class Attention(nn.Module):
             if self.use_rel_pos:
                 iy = np.arange(h) % win
                 ix = np.arange(w) % win
-                bias_h = jnp.einsum("byxhc,ykc->byxhk",
-                                    q_all.astype(jnp.float32),
-                                    Rh_win.astype(jnp.float32)[iy])
-                bias_w = jnp.einsum("byxhc,xkc->byxhk",
-                                    q_all.astype(jnp.float32),
-                                    Rw_win.astype(jnp.float32)[ix])
-                bias = jnp.concatenate([bias_h, bias_w], axis=-1)
-                bias = bias.reshape(b, h, w, nh * 2 * win).astype(qkv.dtype)
+                bias_h = jnp.einsum("byxhc,ykc->byxhk", q_all,
+                                    Rh_win.astype(q_all.dtype)[iy],
+                                    preferred_element_type=jnp.float32)
+                bias_w = jnp.einsum("byxhc,xkc->byxhk", q_all,
+                                    Rw_win.astype(q_all.dtype)[ix],
+                                    preferred_element_type=jnp.float32)
+                bias = jnp.concatenate([bias_h.astype(qkv.dtype),
+                                        bias_w.astype(qkv.dtype)], axis=-1)
+                bias = bias.reshape(b, h, w, nh * 2 * win)
             else:
                 bias = jnp.zeros((b, h, w, nh * 2 * win), qkv.dtype)
             if ph or pw:

@@ -92,12 +92,14 @@ def _ln_kernel(x_ref, s_ref, b_ref, o_ref, *, eps):
     o_ref[...] = y.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "out_dtype"))
-def _ln_pallas(x2, scale, bias, eps, out_dtype):
+@functools.partial(jax.jit, static_argnames=("eps", "out_dtype",
+                                             "interpret"))
+def _ln_pallas(x2, scale, bias, eps, out_dtype, interpret=False):
     n, c = x2.shape
     rows = _ln_rows(n)
     out = pl.pallas_call(
         functools.partial(_ln_kernel, eps=eps),
+        interpret=interpret,
         grid=(n // rows,),
         in_specs=[
             pl.BlockSpec((rows, c), lambda i: (i, 0),
@@ -114,16 +116,17 @@ def _ln_pallas(x2, scale, bias, eps, out_dtype):
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _ln_tpu(x2, scale, bias, eps, out_dtype):
-    return _ln_pallas(x2, scale, bias, eps, out_dtype)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _ln_tpu(x2, scale, bias, eps, out_dtype, interpret=False):
+    return _ln_pallas(x2, scale, bias, eps, out_dtype, interpret)
 
 
-def _ln_tpu_fwd(x2, scale, bias, eps, out_dtype):
-    return _ln_tpu(x2, scale, bias, eps, out_dtype), (x2, scale, bias)
+def _ln_tpu_fwd(x2, scale, bias, eps, out_dtype, interpret=False):
+    return (_ln_tpu(x2, scale, bias, eps, out_dtype, interpret),
+            (x2, scale, bias))
 
 
-def _ln_tpu_bwd(eps, out_dtype, res, g):
+def _ln_tpu_bwd(eps, out_dtype, interpret, res, g):
     x2, scale, bias = res
     _, vjp = jax.vjp(
         lambda x, s, b: _ln_math(x, s, b, eps).astype(out_dtype),
@@ -139,19 +142,33 @@ def layer_norm_tokens(x: jax.Array, scale: jax.Array, bias: jax.Array,
                       out_dtype=None) -> jax.Array:
     """LayerNorm over the last axis of (..., C), Pallas-backed on TPU.
 
-    Numerics are flax nn.LayerNorm's (f32 fast-variance stats); non-TPU
-    backends (and shapes without an 8-multiple row divisor) use the plain
-    XLA math.  See the module comment for why this exists (layout pin).
+    Numerics are flax nn.LayerNorm's (f32 fast-variance stats).  Platform
+    selection happens at LOWERING time (lax.platform_dependent, like the
+    attention kernels): CPU lowerings — including models traced under a
+    ``jax.default_device(cpu)`` init — take the plain XLA math, as do
+    shapes without an 8-multiple row divisor.  See the module comment
+    for why this exists (layout pin).
     """
-    out_dtype = out_dtype or x.dtype
+    out_dtype = jnp.dtype(out_dtype or x.dtype)
     c = x.shape[-1]
-    lead = x.shape[:-1]
     n = 1
-    for d in lead:
+    for d in x.shape[:-1]:
         n *= d
-    if (pl is None or jax.default_backend() not in ("tpu", "axon")
-            or _ln_rows(n) is None):
-        return _ln_math(x.reshape(n, c), scale, bias,
-                        epsilon).astype(out_dtype).reshape(x.shape)
-    return _ln_tpu(x.reshape(n, c), scale, bias, epsilon,
-                   jnp.dtype(out_dtype)).reshape(x.shape)
+    x2 = x.reshape(n, c)
+
+    def math_path(x2, scale, bias):
+        return _ln_math(x2, scale, bias, epsilon).astype(out_dtype)
+
+    if pl is None or _ln_rows(n) is None:
+        return math_path(x2, scale, bias).reshape(x.shape)
+
+    def kernel_path(x2, scale, bias):
+        # interpret when the default backend is not a TPU: only reachable
+        # there when something forces the kernel branch (tests monkeypatch
+        # platform_dependent to drive the pallas wiring on CPU)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return _ln_tpu(x2, scale, bias, epsilon, out_dtype, interpret)
+
+    out = jax.lax.platform_dependent(x2, scale, bias, cpu=math_path,
+                                     default=kernel_path)
+    return out.reshape(x.shape)

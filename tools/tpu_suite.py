@@ -50,12 +50,18 @@ def stage_calib():
 def stage_sam():
     from protosam_tpu.models.sam import build_sam
 
+    from protosam_tpu.utils.synthetic import synthetic_params
+
     sam = build_sam("vit_b", dtype=jnp.bfloat16)
-    with jax.default_device(jax.devices("cpu")[0]):
-        sp = sam.init(jax.random.PRNGKey(0), jnp.zeros((1, 1024, 1024, 3)),
-                      jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32),
-                      jnp.zeros((1, 4)))["params"]
-    sp = jax.device_put(sp, jax.devices()[0])
+    # eval_shape + host fill: no init forward (an eager bf16 forward on
+    # the CPU backend hits unsupported mixed-dtype DotThunks, and takes
+    # minutes besides)
+    shapes = jax.eval_shape(
+        lambda r: sam.init(r, jnp.zeros((1, 1024, 1024, 3)),
+                           jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32),
+                           jnp.zeros((1, 4)))["params"],
+        jax.random.PRNGKey(0))
+    sp = jax.device_put(synthetic_params(shapes), jax.devices()[0])
     f = jax.jit(lambda p, x: jnp.sum(sam.apply(
         {"params": p}, x, method=sam.encode_image).astype(jnp.float32)))
     bench("sam-b encode batch8", f,
@@ -66,11 +72,13 @@ def stage_sam():
 def stage_dino():
     from protosam_tpu.models.dinov2.vit import build_dinov2
 
+    from protosam_tpu.utils.synthetic import synthetic_params
+
     dino = build_dinov2("dinov2_vitl14", dtype=jnp.bfloat16)
-    with jax.default_device(jax.devices("cpu")[0]):
-        dp = dino.init(jax.random.PRNGKey(1),
-                       jnp.zeros((1, 672, 672, 3)))["params"]
-    dp = jax.device_put(dp, jax.devices()[0])
+    shapes = jax.eval_shape(
+        lambda r: dino.init(r, jnp.zeros((1, 672, 672, 3)))["params"],
+        jax.random.PRNGKey(1))
+    dp = jax.device_put(synthetic_params(shapes), jax.devices()[0])
     f = jax.jit(lambda p, x: jnp.sum(dino.apply(
         {"params": p}, x)["x_norm_patchtokens"].astype(jnp.float32)))
     bench("dinov2-L flash batch8", f,
