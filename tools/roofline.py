@@ -29,9 +29,14 @@ from __future__ import annotations
 
 import argparse
 
-# calibrated bf16 matmul peak of the tunnel v5e (tools/tpu_suite.py,
-# ROUND_NOTES.md r1 calibration: large square bf16 matmuls)
-PEAK_TFS = 126.0
+# calibrated bf16 matmul peak of the tunnel v5e.  The r1 calibration
+# (large square bf16 matmuls via tools/tpu_suite.py) read 126 TF/s, but
+# the r2 session-4 device traces show the production encoders' dense
+# mega-fusions sustaining 190-200 TF/s on clean shapes (ROUND_NOTES.md:
+# the fc1+GELU+fc2+LayerScale+residual fusion at ~peak) — the r1 probe
+# was itself bandwidth-limited.  Use the in-trace sustained figure; the
+# ceilings below are what the hardware demonstrably delivers.
+PEAK_TFS = 190.0
 
 SAM_CFG = {
     # embed, depth, heads, n_global
