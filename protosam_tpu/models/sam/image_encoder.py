@@ -19,6 +19,7 @@ relative positions:303-372, PatchEmbed:375-406) as a TPU-first design:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence
 
 import jax
@@ -134,7 +135,9 @@ class Attention(nn.Module):
     table_rows: int | None = None
     q_chunk_rows: int = 8   # row-chunk size for grids with >= 2048 tokens
     use_flash_relpos: bool = False
-    flash_q_rows: int = 16  # query grid-rows per global-kernel program (v5e sweep)
+    # query grid-rows per global-kernel program (v5e sweep; env override
+    # PTPU_FLASH_Q_ROWS for on-chip A/B without a rebuild)
+    flash_q_rows: int = int(os.environ.get("PTPU_FLASH_Q_ROWS", "16"))
     # "packed" (BlockSpec-partition kernel) | "flash" (per-window kernel on
     # partitioned tensors) | "xla_aug" (no pallas); non-packed backends are
     # kept for A/B and measurement history (ROUND_NOTES.md)

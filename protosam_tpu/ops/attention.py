@@ -17,6 +17,7 @@ ViTDet global kernel (ops/vitdet_flash._aug_kernel, ~87 TF/s).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -157,12 +158,61 @@ def _packed_kernel(qkv_ref, out_ref, *, scale, n_valid, nh, hd):
     lax.fori_loop(0, nh // 2, body, jnp.int32(0))
 
 
+def _packed_grid_kernel(qkv_ref, out_ref, *, scale, n_valid, nh, hd):
+    """Head-pair-per-PROGRAM variant of ``_packed_kernel``: the head loop
+    moves into the pallas grid.  The qkv input block's index map is
+    CONSTANT across the head axis, so Mosaic keeps the (S, 3C) block
+    resident — no re-DMA per pair — while the per-program output block is
+    a disjoint 128-lane slice.  Breaking the fori_loop's serial
+    scratch-free chain into independent programs lets the scheduler
+    overlap program j's softmax (VPU) with j+1's score dot (MXU)."""
+    c = nh * hd
+    j = pl.program_id(1)
+    off = j * (2 * hd)
+
+    def one_head(q, k, v):
+        scores = lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # (S, S)
+        if n_valid is not None:
+            cols = lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(cols >= n_valid, -jnp.inf, scores)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        p = jnp.exp(scores - m).astype(v.dtype)
+        l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+        acc = lax.dot_general(
+            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (acc / l).astype(out_ref.dtype)
+
+    qq = qkv_ref[0, :, pl.ds(off, 2 * hd)]
+    kk = qkv_ref[0, :, pl.ds(c + off, 2 * hd)]
+    vv = qkv_ref[0, :, pl.ds(2 * c + off, 2 * hd)]
+    out_ref[0, :, :hd] = one_head(qq[:, :hd], kk[:, :hd], vv[:, :hd])
+    out_ref[0, :, hd:] = one_head(qq[:, hd:], kk[:, hd:], vv[:, hd:])
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "n_valid", "nh",
-                                             "interpret"))
-def _masked_flash_packed(qkv, scale, n_valid, nh, interpret):
+                                             "interpret", "head_grid"))
+def _masked_flash_packed(qkv, scale, n_valid, nh, interpret,
+                         head_grid=False):
     b, s, c3 = qkv.shape
     c = c3 // 3
     hd = c // nh
+    if head_grid and nh % 2 == 0:
+        return pl.pallas_call(
+            functools.partial(_packed_grid_kernel, scale=scale,
+                              n_valid=n_valid, nh=nh, hd=hd),
+            grid=(b, nh // 2),
+            in_specs=[pl.BlockSpec((1, s, c3), lambda i, j: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, s, 2 * hd), lambda i, j: (i, 0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(qkv)
     return pl.pallas_call(
         functools.partial(_packed_kernel, scale=scale, n_valid=n_valid,
                           nh=nh, hd=hd),
@@ -205,16 +255,17 @@ def _packed_math(qkv, scale, n_valid, nh):
     return out.transpose(1, 2, 0, 3).reshape(b, s, c)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def _packed_attn(qkv, scale, n_valid, nh, interpret):
-    return _masked_flash_packed(qkv, scale, n_valid, nh, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _packed_attn(qkv, scale, n_valid, nh, interpret, head_grid):
+    return _masked_flash_packed(qkv, scale, n_valid, nh, interpret,
+                                head_grid)
 
 
-def _packed_attn_fwd(qkv, scale, n_valid, nh, interpret):
-    return _packed_attn(qkv, scale, n_valid, nh, interpret), qkv
+def _packed_attn_fwd(qkv, scale, n_valid, nh, interpret, head_grid):
+    return _packed_attn(qkv, scale, n_valid, nh, interpret, head_grid), qkv
 
 
-def _packed_attn_bwd(scale, n_valid, nh, interpret, qkv, g):
+def _packed_attn_bwd(scale, n_valid, nh, interpret, head_grid, qkv, g):
     _, vjp = jax.vjp(lambda t: _packed_math(t, scale, n_valid, nh), qkv)
     return vjp(g)
 
@@ -225,7 +276,9 @@ _packed_attn.defvjp(_packed_attn_fwd, _packed_attn_bwd)
 def masked_flash_attention_packed(qkv: jax.Array, *, scale: float,
                                   num_heads: int,
                                   n_valid: int | None = None,
-                                  interpret: bool | None = None) -> jax.Array:
+                                  interpret: bool | None = None,
+                                  head_grid: bool | None = None
+                                  ) -> jax.Array:
     """Packed-layout masked flash MHA.
 
     qkv: (B, S, 3*C) straight from the fused qkv projection (channel order
@@ -233,13 +286,20 @@ def masked_flash_attention_packed(qkv: jax.Array, *, scale: float,
     projection.  Keys at index >= n_valid are excluded from the softmax.
     Differentiable: the backward pass is the VJP of a per-head-chunked
     einsum recomputation (training/TTT drive this under jax.grad).
+
+    ``head_grid`` moves the head-pair loop into the pallas grid (constant
+    input index map — one DMA per batch element, disjoint 128-lane output
+    blocks); env ``PTPU_PACKED_HEAD_GRID=1`` flips the default for A/B.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
+    if head_grid is None:
+        head_grid = os.environ.get("PTPU_PACKED_HEAD_GRID", "0") == "1"
     s = qkv.shape[1]
     if n_valid is not None and n_valid >= s:
         n_valid = None
-    return _packed_attn(qkv, float(scale), n_valid, num_heads, interpret)
+    return _packed_attn(qkv, float(scale), n_valid, num_heads, interpret,
+                        bool(head_grid))
 
 
 def multi_head_attention_bhsd(q: jax.Array, k: jax.Array, v: jax.Array, *,

@@ -35,6 +35,7 @@ dtype=float32, PARITY.md).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -522,7 +523,9 @@ def _window_packed_flat_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref,
 @functools.partial(jax.jit, static_argnames=("win", "nh", "scale",
                                              "interpret", "nbuf"))
 def _call_window_packed_flat(qkv_pad, bias_pad, win, nh, scale, interpret,
-                             nbuf=2):
+                             nbuf=None):
+    if nbuf is None:  # scratch rotation depth (env knob for on-chip A/B)
+        nbuf = int(os.environ.get("PTPU_WINDOW_NBUF", "2"))
     b, hp, wp, c3 = qkv_pad.shape
     c = c3 // 3
     hd = c // nh

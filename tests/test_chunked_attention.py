@@ -123,6 +123,24 @@ def test_packed_flash_kernel_matches_einsum(nh):
                                    atol=2e-5, rtol=1e-4)
 
 
+def test_packed_head_grid_matches_loop():
+    """The head-pair-per-program variant (grid over (batch, nh//2), constant
+    qkv index map) must be bit-identical to the fori_loop kernel."""
+    from protosam_tpu.ops.attention import masked_flash_attention_packed
+
+    b, s, nh, hd = 2, 256, 4, 16
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * nh * hd)), jnp.float32)
+    for n_valid in (None, 200):
+        loop = masked_flash_attention_packed(
+            qkv, scale=0.25, num_heads=nh, n_valid=n_valid,
+            interpret=True, head_grid=False)
+        grid = masked_flash_attention_packed(
+            qkv, scale=0.25, num_heads=nh, n_valid=n_valid,
+            interpret=True, head_grid=True)
+        np.testing.assert_array_equal(np.asarray(loop), np.asarray(grid))
+
+
 def test_packed_flash_gradient_matches_einsum():
     """The packed kernel's custom VJP (head-chunked einsum recomputation)
     must match gradients of the plain einsum path."""
