@@ -261,6 +261,12 @@ def test_window_packed_matches_reference(rng):
         qkv_pad, bias, win, nh, scale, interpret=True,
         flat=True))[:, :h, :w]
     np.testing.assert_array_equal(got, got_flat)
+    # head-batched-softmax flat variant: row-local math is unchanged, so
+    # bit-identical as well (stale pad rows in its scratch are never read)
+    got_hb = np.asarray(window_packed_attention(
+        qkv_pad, bias, win, nh, scale, interpret=True,
+        flat=True, head_batched=True))[:, :h, :w]
+    np.testing.assert_array_equal(got, got_hb)
 
     # reference: partition the SAME bias-padded qkv, einsum per window
     from protosam_tpu.models.sam.image_encoder import (
