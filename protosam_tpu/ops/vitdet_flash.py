@@ -520,70 +520,10 @@ def _window_packed_flat_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref,
                 (acc / l).astype(out_ref.dtype).reshape(win, win, hd))
 
 
-def _window_packed_flat2_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref,
-                                scr_ref, pb_ref, *, nh, hd, win, scale,
-                                nwx, nbuf=2):
-    """Head-batched-softmax variant of the flat kernel.
-
-    The flat kernel's per-(window, head) iterations are latency-bound:
-    each runs its own (S_w, S_w) max/exp/sum chain on the VPU, so the
-    MXU idles ~95% of the time.  Here all ``nh`` score dots of a window
-    land in ONE f32 scratch (rows padded to ``rp`` so per-head slices
-    stay sublane-tile-aligned), softmax runs ONCE over the whole
-    (nh*rp, S_w) buffer — nh-fold fewer VPU reduction launches — and the
-    PV dots read the probabilities back from aligned slices.  Per-row
-    math is identical to the flat kernel (max/exp/sum/divide are
-    row-local), so results are bit-equal; stale pad rows are never read.
-    """
-    sw = win * win
-    c = nh * hd
-    aug = hd + 2 * win
-    rp = -(-sw // 8) * 8
-
-    r = lax.broadcasted_iota(jnp.int32, (sw, 128 - hd), 0)
-    j = lax.broadcasted_iota(jnp.int32, (sw, 128 - hd), 1)
-    sel_h = ((r // win) == j) & (j < win)
-    sel_w = ((r % win) == (j - win)) & (j >= win) & (j < 2 * win)
-    for bno in range(nbuf):
-        ka_ref[bno, :, hd:] = (sel_h | sel_w).astype(ka_ref.dtype)
-        qa_ref[bno, :, aug:] = jnp.zeros((sw, 128 - aug), qa_ref.dtype)
-
-    for wi in range(nwx):
-        cols = slice(wi * win, (wi + 1) * win)
-        data = qkv_ref[0, :, cols, :].reshape(sw, 3 * c)
-        bias = bias_ref[0, :, cols, :].reshape(sw, nh * 2 * win)
-        for h in range(nh):
-            bno = h % nbuf
-            qa_ref[bno, :, :hd] = (data[:, h * hd:(h + 1) * hd]
-                                   .astype(jnp.float32)
-                                   * scale).astype(qa_ref.dtype)
-            qa_ref[bno, :, hd:aug] = bias[:, h * 2 * win:(h + 1) * 2 * win]
-            ka_ref[bno, :, :hd] = data[:, c + h * hd:c + (h + 1) * hd]
-            scr_ref[h * rp:h * rp + sw, :] = lax.dot_general(
-                qa_ref[bno], ka_ref[bno],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        s_all = scr_ref[...]
-        m = jnp.max(s_all, axis=1, keepdims=True)
-        pb_ref[...] = jnp.exp(s_all - m).astype(pb_ref.dtype)
-        l_ref = jnp.sum(pb_ref[...], axis=1, keepdims=True,
-                        dtype=jnp.float32)
-        for h in range(nh):
-            v = data[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
-            acc = lax.dot_general(
-                pb_ref[h * rp:h * rp + sw, :], v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            out_ref[0, :, cols, h * hd:(h + 1) * hd] = (
-                (acc / l_ref[h * rp:h * rp + sw])
-                .astype(out_ref.dtype).reshape(win, win, hd))
-
-
 @functools.partial(jax.jit, static_argnames=("win", "nh", "scale",
-                                             "interpret", "nbuf",
-                                             "head_batched"))
+                                             "interpret", "nbuf"))
 def _call_window_packed_flat(qkv_pad, bias_pad, win, nh, scale, interpret,
-                             nbuf=None, head_batched=False):
+                             nbuf=None):
     if nbuf is None:  # scratch rotation depth (env knob for on-chip A/B)
         nbuf = int(os.environ.get("PTPU_WINDOW_NBUF", "2"))
     b, hp, wp, c3 = qkv_pad.shape
@@ -595,17 +535,9 @@ def _call_window_packed_flat(qkv_pad, bias_pad, win, nh, scale, interpret,
         memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((nbuf, win * win, 128), qkv_pad.dtype),
                pltpu.VMEM((nbuf, win * win, 128), qkv_pad.dtype)]
-    if head_batched:
-        kernel = functools.partial(_window_packed_flat2_kernel, nh=nh,
-                                   hd=hd, win=win, scale=scale, nwx=nwx,
-                                   nbuf=nbuf)
-        rp = -(-win * win // 8) * 8
-        scratch += [pltpu.VMEM((nh * rp, win * win), jnp.float32),
-                    pltpu.VMEM((nh * rp, win * win), qkv_pad.dtype)]
-    else:
-        kernel = functools.partial(_window_packed_flat_kernel, nh=nh,
-                                   hd=hd, win=win, scale=scale, nwx=nwx,
-                                   nbuf=nbuf)
+    kernel = functools.partial(_window_packed_flat_kernel, nh=nh,
+                               hd=hd, win=win, scale=scale, nwx=nwx,
+                               nbuf=nbuf)
     out = pl.pallas_call(
         kernel,
         grid=(b, nwy),
@@ -623,8 +555,7 @@ def _call_window_packed_flat(qkv_pad, bias_pad, win, nh, scale, interpret,
 def window_packed_attention(qkv_pad: jax.Array, bias_pad: jax.Array,
                             win: int, num_heads: int, scale: float,
                             interpret: bool | None = None,
-                            wcp: int = 1, flat: bool = False,
-                            head_batched: bool | None = None) -> jax.Array:
+                            wcp: int = 1, flat: bool = False) -> jax.Array:
     """Fused windowed ViTDet attention over PACKED operands.
 
     qkv_pad: (B, Hp, Wp, 3C), window-padded with the qkv projection's BIAS
@@ -642,14 +573,21 @@ def window_packed_attention(qkv_pad: jax.Array, bias_pad: jax.Array,
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    if head_batched is None:  # env knob for on-chip A/B without a rebuild
-        head_batched = os.environ.get("PTPU_WINDOW_HEAD_BATCHED") == "1"
     if flat:
         return _call_window_packed_flat(qkv_pad, bias_pad, win, num_heads,
-                                        float(scale), interpret,
-                                        head_batched=head_batched)
+                                        float(scale), interpret)
     return _call_window_packed(qkv_pad, bias_pad, win, num_heads,
                                float(scale), interpret, wcp)
+
+# A head-batched-softmax flat variant (all nh score dots of a window into
+# one f32 scratch, ONE whole-buffer softmax, then the PV dots) was built and
+# validated in interpret mode in r3 — and REMOVED: on the real chip it was
+# no faster (107.7 vs 108.3 ms/batch-8 vit_b encoder), and in bf16 Mosaic
+# miscompiled the mixed whole-buffer/sliced scratch access pattern (heads
+# 0..nh-3 of window-cols >= 1 read stale probabilities; f32 was bit-equal).
+# Per the r2-r4 iteration log, per-(window, head) softmax cost is NOT the
+# window kernel's bottleneck — the floor is MXU geometry on (196, 128, 196)
+# dots (~2 ms/layer at vit_b), not VPU reductions.
 
 
 def window_attention_xla_aug(q: jax.Array, k: jax.Array, v: jax.Array,

@@ -286,3 +286,54 @@ def load_sam_pth(path: str) -> dict:
 
     sd = torch.load(path, map_location="cpu")
     return convert_sam(sd)
+
+
+def hf_dinov2_to_hub_state_dict(sd: Mapping[str, Any]) -> dict:
+    """Map a HuggingFace ``Dinov2Model`` state dict to the facebook-hub
+    layout ``convert_dinov2`` expects (per-layer q/k/v fused back into qkv).
+
+    The reference consumes the torch.hub DINOv2 checkpoints
+    (grid_proto_fewshot.py:54-72); HF mirrors the same weights under
+    different names, so this lets users load the widely-mirrored HF
+    checkpoints (facebook/dinov2-large etc.) without torch.hub egress.
+    """
+    import numpy as np
+
+    cat = (lambda xs: np.concatenate([_np(x) for x in xs], axis=0))
+    out = {
+        "cls_token": sd["embeddings.cls_token"],
+        "pos_embed": sd["embeddings.position_embeddings"],
+        "patch_embed.proj.weight":
+            sd["embeddings.patch_embeddings.projection.weight"],
+        "patch_embed.proj.bias":
+            sd["embeddings.patch_embeddings.projection.bias"],
+        "norm.weight": sd["layernorm.weight"],
+        "norm.bias": sd["layernorm.bias"],
+    }
+    if "embeddings.mask_token" in sd:
+        out["mask_token"] = sd["embeddings.mask_token"]
+    if "embeddings.register_tokens" in sd:
+        out["register_tokens"] = sd["embeddings.register_tokens"]
+    i = 0
+    while f"encoder.layer.{i}.norm1.weight" in sd:
+        p = f"encoder.layer.{i}."
+        out[f"blocks.{i}.attn.qkv.weight"] = cat(
+            [sd[p + "attention.attention." + n + ".weight"]
+             for n in ("query", "key", "value")])
+        out[f"blocks.{i}.attn.qkv.bias"] = cat(
+            [sd[p + "attention.attention." + n + ".bias"]
+             for n in ("query", "key", "value")])
+        out[f"blocks.{i}.attn.proj.weight"] = \
+            sd[p + "attention.output.dense.weight"]
+        out[f"blocks.{i}.attn.proj.bias"] = \
+            sd[p + "attention.output.dense.bias"]
+        for a, b in (("norm1", "norm1"), ("norm2", "norm2")):
+            out[f"blocks.{i}.{a}.weight"] = sd[p + b + ".weight"]
+            out[f"blocks.{i}.{a}.bias"] = sd[p + b + ".bias"]
+        out[f"blocks.{i}.ls1.gamma"] = sd[p + "layer_scale1.lambda1"]
+        out[f"blocks.{i}.ls2.gamma"] = sd[p + "layer_scale2.lambda1"]
+        for fc in ("fc1", "fc2"):
+            out[f"blocks.{i}.mlp.{fc}.weight"] = sd[p + f"mlp.{fc}.weight"]
+            out[f"blocks.{i}.mlp.{fc}.bias"] = sd[p + f"mlp.{fc}.bias"]
+        i += 1
+    return out

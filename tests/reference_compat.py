@@ -17,22 +17,15 @@ def import_reference_alpmodule():
     return alpmodule
 
 
-def import_reference_protosam():
-    """Import the reference's full ProtoSAM pipeline module on CPU.
-
-    models/ProtoSAM.py transitively needs packages absent here (torchvision,
-    pip segment_anything, kneed, sklearn) — none of which participate in the
-    point/bbox/cca forward path this test exercises.  We mount the VENDORED
-    models/segment_anything as the top-level ``segment_anything`` package and
-    stub the rest:
+def _install_reference_stubs():
+    """Stub the reference's unavailable third-party imports and mount its
+    vendored ``segment_anything`` as a top-level package.
 
     * ``torchvision.transforms.functional.resize/to_pil_image`` — only
       reached via ResizeLongestSide.apply_image on an already-target-size
       image, i.e. an identity; the stub asserts that and passes through.
     * ``kneed`` / ``sklearn`` — imported by util.utils at module level, used
       only by legacy helpers the forward never calls.
-    * ``models.grid_proto_fewshot`` — the coarse model is replaced by a stub
-      wrapper in the test anyway.
     """
     import importlib.util
     import types
@@ -100,17 +93,172 @@ def import_reference_protosam():
 
         mod.modeling.sam.Sam.postprocess_masks = _upstream_postprocess
 
-    # import the REAL models package first so the stub below doesn't shadow it
+
+def import_reference_protosam(real_fewshot: bool = False):
+    """Import the reference's full ProtoSAM pipeline module on CPU.
+
+    models/ProtoSAM.py transitively needs packages absent here (torchvision,
+    pip segment_anything, kneed, sklearn) — none of which participate in the
+    point/bbox/cca forward path the golden tests exercise; see
+    ``_install_reference_stubs``.
+
+    ``real_fewshot=False`` additionally stubs ``models.grid_proto_fewshot``
+    (the coarse model is replaced by a stub wrapper in those tests);
+    ``real_fewshot=True`` imports the REAL grid_proto_fewshot so the joint
+    coarse+refine goldens drive the reference's actual coarse wiring
+    (grid_proto_fewshot.py:150-290).
+    """
     import importlib
 
+    _install_reference_stubs()
+
+    # import the REAL models package first so the stub below doesn't shadow it
     importlib.import_module("models")
-    _ensure("models.grid_proto_fewshot", FewShotSeg=object)
+    if real_fewshot:
+        # replace a previously-installed stub if the stub-coarse goldens ran
+        # first in this process
+        mod = sys.modules.get("models.grid_proto_fewshot")
+        if mod is not None and not hasattr(mod.FewShotSeg, "forward"):
+            del sys.modules["models.grid_proto_fewshot"]
+        importlib.import_module("models.grid_proto_fewshot")
+    elif "models.grid_proto_fewshot" not in sys.modules:
+        import types
+
+        stub = types.ModuleType("models.grid_proto_fewshot")
+        stub.FewShotSeg = object
+        sys.modules["models.grid_proto_fewshot"] = stub
+        sys.modules["models"].grid_proto_fewshot = stub
 
     import matplotlib
     matplotlib.use("Agg")
 
+    if real_fewshot and hasattr(sys.modules.get("models.ProtoSAM", None),
+                                "FewShotSeg"):
+        # ProtoSAM captured the stub class at its own first import; rebind
+        sys.modules["models.ProtoSAM"].FewShotSeg = \
+            sys.modules["models.grid_proto_fewshot"].FewShotSeg
+
     from models import ProtoSAM  # noqa
     return ProtoSAM
+
+
+TINY_DINO_KW = dict(hidden_size=64, num_hidden_layers=2,
+                    num_attention_heads=2, patch_size=14, image_size=518)
+
+
+def build_tiny_hf_dino(seed=7):
+    """Tiny seeded HF Dinov2Model with HUB-faithful pos-embed interpolation.
+
+    HF's Dinov2 is a faithful port of the hub architecture except for
+    ``interpolate_pos_encoding`` (HF: size= + align_corners; hub:
+    scale_factor=(g+0.1)/m bicubic, facebookresearch/dinov2
+    vision_transformer.py).  The reference consumes the HUB model
+    (grid_proto_fewshot.py:54-58), and our flax implementation follows hub
+    semantics exactly (models/dinov2/vit.py:_interpolate_pos_encoding), so
+    the golden encoder must too — we monkeypatch hub interpolation onto the
+    HF embeddings instance.
+    """
+    import math
+    import types
+
+    import torch
+    from transformers import Dinov2Config, Dinov2Model
+
+    cfg = Dinov2Config(layerscale_value=1e-5, hidden_act="gelu",
+                       mlp_ratio=4, **TINY_DINO_KW)
+    hf = Dinov2Model(cfg).eval()
+    sd = hf.state_dict()
+    g = torch.Generator().manual_seed(seed)
+    for k in sd:
+        sd[k] = torch.randn(sd[k].shape, generator=g) * 0.05
+    hf.load_state_dict(sd)
+
+    def hub_interpolate(self, embeddings, height, width):
+        import torch.nn.functional as F
+
+        npatch = embeddings.shape[1] - 1
+        n = self.position_embeddings.shape[1] - 1
+        gh, gw = height // self.patch_size, width // self.patch_size
+        if npatch == n and gh == gw:
+            return self.position_embeddings
+        class_pos = self.position_embeddings[:, :1]
+        patch_pos = self.position_embeddings[:, 1:]
+        dim = embeddings.shape[-1]
+        m = int(math.sqrt(n))
+        patch_pos = patch_pos.reshape(1, m, m, dim).permute(0, 3, 1, 2)
+        patch_pos = F.interpolate(
+            patch_pos, scale_factor=((gh + 0.1) / m, (gw + 0.1) / m),
+            mode="bicubic", antialias=False)
+        assert patch_pos.shape[-2:] == (gh, gw)
+        patch_pos = patch_pos.permute(0, 2, 3, 1).reshape(1, -1, dim)
+        return torch.cat([class_pos, patch_pos], dim=1)
+
+    hf.embeddings.interpolate_pos_encoding = types.MethodType(
+        hub_interpolate, hf.embeddings)
+    return hf
+
+
+def hub_dino_adapter(hf):
+    """Wrap an HF Dinov2Model in the torch.hub DINOv2 surface the reference
+    consumes: ``forward_features(x) -> {"x_norm_patchtokens": ...}``
+    (grid_proto_fewshot.py:90-92)."""
+    import torch
+
+    class HubDino(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.hf = hf
+
+        def forward_features(self, x):
+            out = self.hf(x).last_hidden_state
+            return {"x_norm_clstoken": out[:, 0],
+                    "x_norm_patchtokens": out[:, 1:]}
+
+    return HubDino().eval()
+
+
+def build_reference_fewshot(image_size, encoder_adapter, proto_grid_size=8):
+    """Construct the reference's REAL FewShotSeg (grid_proto_fewshot.py:25)
+    on CPU with ``torch.hub.load`` patched to return ``encoder_adapter``.
+
+    which_model='dinov2_l14' selects the dino feature path the flagship
+    config runs (resize-to-14-multiple -> forward_features ->
+    x_norm_patchtokens grid -> min-32 upsample, grid_proto_fewshot.py:83-103);
+    the hard-coded embed_dim=1024 at :115-117 only sizes unused attention
+    heads (alpmodule.py:39-55, use_attention=False)."""
+    import importlib
+
+    import torch
+
+    _install_reference_stubs()
+    importlib.import_module("models")
+    mod = sys.modules.get("models.grid_proto_fewshot")
+    if mod is not None and not hasattr(mod.FewShotSeg, "forward"):
+        del sys.modules["models.grid_proto_fewshot"]
+    gpf = importlib.import_module("models.grid_proto_fewshot")
+
+    cfg = {"which_model": "dinov2_l14", "lora": 0, "cls_name": "grid_proto",
+           "proto_grid_size": proto_grid_size, "use_coco_init": False,
+           "align": False, "debug": False}
+    orig = torch.hub.load
+    torch.hub.load = lambda *a, **k: encoder_adapter
+    try:
+        model = gpf.FewShotSeg(image_size, cfg=cfg)
+    finally:
+        torch.hub.load = orig
+    return model.eval()
+
+
+def our_fewshot_params_from_hf(hf):
+    """Our FewShotSeg('dinov2_t14') param tree carrying the tiny HF encoder's
+    weights (the encoder is the only parameterized submodule)."""
+    from protosam_tpu.utils.torch_convert import (
+        convert_dinov2,
+        hf_dinov2_to_hub_state_dict,
+    )
+
+    return {"encoder": convert_dinov2(
+        hf_dinov2_to_hub_state_dict(hf.state_dict()))}
 
 
 def import_sam_modeling():

@@ -13,53 +13,12 @@ import torch
 import jax.numpy as jnp
 
 from protosam_tpu.models.dinov2.vit import DinoVisionTransformer
-from protosam_tpu.utils.torch_convert import convert_dinov2
+from protosam_tpu.utils.torch_convert import (
+    convert_dinov2,
+    hf_dinov2_to_hub_state_dict as hf_to_hub_state_dict,
+)
 
 transformers = pytest.importorskip("transformers")
-
-
-def hf_to_hub_state_dict(sd):
-    """Map HF Dinov2Model keys to the facebook-hub layout convert_dinov2
-    expects (q/k/v fused back into qkv)."""
-    out = {
-        "cls_token": sd["embeddings.cls_token"],
-        "pos_embed": sd["embeddings.position_embeddings"],
-        "patch_embed.proj.weight":
-            sd["embeddings.patch_embeddings.projection.weight"],
-        "patch_embed.proj.bias":
-            sd["embeddings.patch_embeddings.projection.bias"],
-        "norm.weight": sd["layernorm.weight"],
-        "norm.bias": sd["layernorm.bias"],
-    }
-    if "embeddings.mask_token" in sd:
-        out["mask_token"] = sd["embeddings.mask_token"]
-    i = 0
-    while f"encoder.layer.{i}.norm1.weight" in sd:
-        p = f"encoder.layer.{i}."
-        q = sd[p + "attention.attention.query.weight"]
-        k = sd[p + "attention.attention.key.weight"]
-        v = sd[p + "attention.attention.value.weight"]
-        out[f"blocks.{i}.attn.qkv.weight"] = torch.cat([q, k, v], dim=0)
-        out[f"blocks.{i}.attn.qkv.bias"] = torch.cat([
-            sd[p + "attention.attention.query.bias"],
-            sd[p + "attention.attention.key.bias"],
-            sd[p + "attention.attention.value.bias"]], dim=0)
-        out[f"blocks.{i}.attn.proj.weight"] = \
-            sd[p + "attention.output.dense.weight"]
-        out[f"blocks.{i}.attn.proj.bias"] = \
-            sd[p + "attention.output.dense.bias"]
-        out[f"blocks.{i}.norm1.weight"] = sd[p + "norm1.weight"]
-        out[f"blocks.{i}.norm1.bias"] = sd[p + "norm1.bias"]
-        out[f"blocks.{i}.norm2.weight"] = sd[p + "norm2.weight"]
-        out[f"blocks.{i}.norm2.bias"] = sd[p + "norm2.bias"]
-        out[f"blocks.{i}.ls1.gamma"] = sd[p + "layer_scale1.lambda1"]
-        out[f"blocks.{i}.ls2.gamma"] = sd[p + "layer_scale2.lambda1"]
-        out[f"blocks.{i}.mlp.fc1.weight"] = sd[p + "mlp.fc1.weight"]
-        out[f"blocks.{i}.mlp.fc1.bias"] = sd[p + "mlp.fc1.bias"]
-        out[f"blocks.{i}.mlp.fc2.weight"] = sd[p + "mlp.fc2.weight"]
-        out[f"blocks.{i}.mlp.fc2.bias"] = sd[p + "mlp.fc2.bias"]
-        i += 1
-    return out
 
 
 @pytest.fixture(scope="module")

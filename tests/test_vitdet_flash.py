@@ -261,12 +261,6 @@ def test_window_packed_matches_reference(rng):
         qkv_pad, bias, win, nh, scale, interpret=True,
         flat=True))[:, :h, :w]
     np.testing.assert_array_equal(got, got_flat)
-    # head-batched-softmax flat variant: row-local math is unchanged, so
-    # bit-identical as well (stale pad rows in its scratch are never read)
-    got_hb = np.asarray(window_packed_attention(
-        qkv_pad, bias, win, nh, scale, interpret=True,
-        flat=True, head_batched=True))[:, :h, :w]
-    np.testing.assert_array_equal(got, got_hb)
 
     # reference: partition the SAME bias-padded qkv, einsum per window
     from protosam_tpu.models.sam.image_encoder import (
@@ -280,6 +274,45 @@ def test_window_packed_matches_reference(rng):
     want = window_unpartition(
         np.asarray(want).reshape(nw, win, win, c), win, (hp, wp), (h, w))
     np.testing.assert_allclose(got, np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_window_flat_bf16_production_win(rng):
+    """The flat window kernel with bf16 operands at the production win=14
+    geometry (the base test runs win=4 f32 only) against the f32 einsum
+    reference at bf16 tolerance."""
+    from protosam_tpu.ops.vitdet_flash import window_packed_attention
+
+    win, nh, d, tol = 14, 2, 64, 3e-2
+    c = nh * d
+    b = 1
+    hp = wp = 2 * win
+    scale = d ** -0.5
+    rng_ = np.random.default_rng(win)
+    qkv = jnp.asarray(rng_.standard_normal((b, hp, wp, 3 * c)), jnp.bfloat16)
+    Rh = jnp.asarray(rng_.standard_normal((win, win, d)) * 0.1, jnp.bfloat16)
+    Rw = jnp.asarray(rng_.standard_normal((win, win, d)) * 0.1, jnp.bfloat16)
+    q_all = qkv[..., :c].reshape(b, hp, wp, nh, d)
+    iy, ix = np.arange(hp) % win, np.arange(wp) % win
+    bias_h = jnp.einsum("byxhc,ykc->byxhk", q_all, Rh[iy])
+    bias_w = jnp.einsum("byxhc,xkc->byxhk", q_all, Rw[ix])
+    bias = jnp.concatenate([bias_h, bias_w], -1).reshape(
+        b, hp, wp, nh * 2 * win).astype(jnp.bfloat16)
+    got = np.asarray(window_packed_attention(
+        qkv, bias, win, nh, scale, interpret=True,
+        flat=True).astype(jnp.float32))
+
+    from protosam_tpu.models.sam.image_encoder import (
+        window_partition,
+        window_unpartition,
+    )
+    ww, _ = window_partition(qkv.astype(jnp.float32), win)
+    nw = ww.shape[0]
+    q5 = ww.reshape(nw, win * win, 3, nh, d).transpose(2, 0, 1, 3, 4)
+    want = reference(q5[0], q5[1], q5[2], Rh.astype(jnp.float32),
+                     Rw.astype(jnp.float32), win, win, scale)
+    want = window_unpartition(
+        np.asarray(want).reshape(nw, win, win, c), win, (hp, wp), (hp, wp))
+    np.testing.assert_allclose(got, np.asarray(want), atol=tol, rtol=tol)
 
 
 def test_packed_kernels_vith_head_dim(rng):
