@@ -158,6 +158,70 @@ def _packed_kernel(qkv_ref, out_ref, *, scale, n_valid, nh, hd):
     lax.fori_loop(0, nh // 2, body, jnp.int32(0))
 
 
+def _packed_aug_kernel(qkv_ref, out_ref, qa_ref, ka_ref, va_ref, *,
+                       scale, n_valid, nh, hd):
+    """Augmented-operand variant of ``_packed_kernel`` — the softmax's
+    bookkeeping passes are folded into the two MXU dots, which stay the
+    same size (one K-tile / one N-tile either way):
+
+    * scale folds into the q_aug build ((S, hd) elements, ~1/S the cost
+      of scaling the (S, S) score matrix; exact when scale is a power of
+      two — hd=64 => 1/8 for every model this kernel serves);
+    * the pad-key mask folds into the score dot via one augmented K lane:
+      q_aug = [q*scale | 1], k_aug = [k | maskbias] with maskbias = -1e30
+      on pad rows, so masked scores exp to exactly 0 (K=hd+1 <= 128 is
+      still one MXU K-tile — the mask costs zero MXU time);
+    * the softmax row-sum folds into the PV dot via a ones lane on v:
+      acc_aug = p @ [v | 1] yields the weighted sum AND the normalizer
+      (N=hd+1 <= 128 is still one N-tile).
+
+    Per (S, S) block the VPU then runs only max and sub+exp — measured
+    1.34 ms/call vs 2.03 for the plain kernel at DINOv2-L's
+    (8, 2432, 3*1024) bf16 geometry (tools/microbench_attn.py; bit-equal
+    there, and within ~1 ulp of the plain kernel in f32 — the row-sum
+    accumulates on the MXU in tree order instead of the VPU's sequential
+    order).  Requires hd + 1 <= 128 and even ``nh``.
+    """
+    c = nh * hd
+
+    def one_head(q, k, v):
+        qa_ref[:, :hd] = (q.astype(jnp.float32) * scale).astype(qa_ref.dtype)
+        qa_ref[:, hd:hd + 1] = jnp.ones((q.shape[0], 1), qa_ref.dtype)
+        ka_ref[:, :hd] = k
+        if n_valid is not None:
+            rows = lax.broadcasted_iota(jnp.int32, (k.shape[0], 1), 0)
+            ka_ref[:, hd:hd + 1] = jnp.where(
+                rows >= n_valid, jnp.asarray(-1e30, jnp.float32), 0.0
+            ).astype(ka_ref.dtype)
+        else:
+            ka_ref[:, hd:hd + 1] = jnp.zeros((k.shape[0], 1), ka_ref.dtype)
+        scores = lax.dot_general(
+            qa_ref[...], ka_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (S, S) masked
+        m = jnp.max(scores, axis=1, keepdims=True)
+        p = jnp.exp(scores - m).astype(v.dtype)
+        va_ref[:, :hd] = v
+        va_ref[:, hd:hd + 1] = jnp.ones((v.shape[0], 1), va_ref.dtype)
+        acc = lax.dot_general(
+            p, va_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (S, hd+1)
+        return (acc[:, :hd] / acc[:, hd:hd + 1]).astype(out_ref.dtype)
+
+    def body(j, carry):
+        off = j * (2 * hd)
+        qq = qkv_ref[0, :, pl.ds(off, 2 * hd)]
+        kk = qkv_ref[0, :, pl.ds(c + off, 2 * hd)]
+        vv = qkv_ref[0, :, pl.ds(2 * c + off, 2 * hd)]
+        o0 = one_head(qq[:, :hd], kk[:, :hd], vv[:, :hd])
+        o1 = one_head(qq[:, hd:], kk[:, hd:], vv[:, hd:])
+        out_ref[0, :, pl.ds(off, 2 * hd)] = jnp.concatenate([o0, o1], axis=1)
+        return carry
+
+    lax.fori_loop(0, nh // 2, body, jnp.int32(0))
+
+
 def _packed_grid_kernel(qkv_ref, out_ref, *, scale, n_valid, nh, hd):
     """Head-pair-per-PROGRAM variant of ``_packed_kernel``: the head loop
     moves into the pallas grid.  The qkv input block's index map is
@@ -193,12 +257,30 @@ def _packed_grid_kernel(qkv_ref, out_ref, *, scale, n_valid, nh, hd):
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "n_valid", "nh",
-                                             "interpret", "head_grid"))
+                                             "interpret", "head_grid",
+                                             "aug"))
 def _masked_flash_packed(qkv, scale, n_valid, nh, interpret,
-                         head_grid=False):
+                         head_grid=False, aug=True):
     b, s, c3 = qkv.shape
     c = c3 // 3
     hd = c // nh
+    if aug and nh % 2 == 0 and hd + 1 <= 128 and not head_grid:
+        return pl.pallas_call(
+            functools.partial(_packed_aug_kernel, scale=scale,
+                              n_valid=n_valid, nh=nh, hd=hd),
+            grid=(b,),
+            in_specs=[pl.BlockSpec((1, s, c3), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
+            scratch_shapes=[pltpu.VMEM((s, hd + 1), qkv.dtype),
+                            pltpu.VMEM((s, hd + 1), qkv.dtype),
+                            pltpu.VMEM((s, hd + 1), qkv.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(qkv)
     if head_grid and nh % 2 == 0:
         return pl.pallas_call(
             functools.partial(_packed_grid_kernel, scale=scale,
@@ -255,17 +337,18 @@ def _packed_math(qkv, scale, n_valid, nh):
     return out.transpose(1, 2, 0, 3).reshape(b, s, c)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
-def _packed_attn(qkv, scale, n_valid, nh, interpret, head_grid):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+def _packed_attn(qkv, scale, n_valid, nh, interpret, head_grid, aug):
     return _masked_flash_packed(qkv, scale, n_valid, nh, interpret,
-                                head_grid)
+                                head_grid, aug)
 
 
-def _packed_attn_fwd(qkv, scale, n_valid, nh, interpret, head_grid):
-    return _packed_attn(qkv, scale, n_valid, nh, interpret, head_grid), qkv
+def _packed_attn_fwd(qkv, scale, n_valid, nh, interpret, head_grid, aug):
+    return _packed_attn(qkv, scale, n_valid, nh, interpret, head_grid,
+                        aug), qkv
 
 
-def _packed_attn_bwd(scale, n_valid, nh, interpret, head_grid, qkv, g):
+def _packed_attn_bwd(scale, n_valid, nh, interpret, head_grid, aug, qkv, g):
     _, vjp = jax.vjp(lambda t: _packed_math(t, scale, n_valid, nh), qkv)
     return vjp(g)
 
@@ -290,16 +373,21 @@ def masked_flash_attention_packed(qkv: jax.Array, *, scale: float,
     ``head_grid`` moves the head-pair loop into the pallas grid (constant
     input index map — one DMA per batch element, disjoint 128-lane output
     blocks); env ``PTPU_PACKED_HEAD_GRID=1`` flips the default for A/B.
+    The augmented-operand kernel (mask/scale/row-sum folded into the MXU
+    dots; bit-identical at power-of-two scales, 1.34 vs 2.03 ms at the
+    DINOv2-L geometry) is the default; ``PTPU_PACKED_AUG=0`` reverts to
+    the serial baseline kernel.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     if head_grid is None:
         head_grid = os.environ.get("PTPU_PACKED_HEAD_GRID", "0") == "1"
+    aug = os.environ.get("PTPU_PACKED_AUG", "1") == "1"
     s = qkv.shape[1]
     if n_valid is not None and n_valid >= s:
         n_valid = None
     return _packed_attn(qkv, float(scale), n_valid, num_heads, interpret,
-                        bool(head_grid))
+                        bool(head_grid), aug)
 
 
 def multi_head_attention_bhsd(q: jax.Array, k: jax.Array, v: jax.Array, *,

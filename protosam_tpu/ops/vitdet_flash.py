@@ -262,7 +262,8 @@ def window_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def _global_packed_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref,
-                          qa_ref, ka_ref, *, gh, gw, hd, hpb, scale):
+                          qa_ref, ka_ref, va_ref, *, gh, gw, hd, hpb,
+                          scale):
     """One program per (batch, head-GROUP, q-row-block) over the PACKED
     qkv.
 
@@ -295,6 +296,11 @@ def _global_packed_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref,
     qq = q_ref[0].reshape(nq, hw)
     bb = bias_ref[0].reshape(nq, hpb * (gh + gw))
     vv = v_ref[0].reshape(s, hw)
+    # ones lane once per program: acc_aug = p @ [v | 1] yields the weighted
+    # sum AND the softmax normalizer in one dot (N=hd+1 <= 128 stays one
+    # MXU N-tile — the row-sum costs zero extra MXU time and the (nq, S)
+    # VPU sum pass disappears; same fold as ops/attention._packed_aug_kernel)
+    va_ref[:, hd:hd + 1] = jnp.ones((s, 1), va_ref.dtype)
     for i in range(hpb):
         qa_ref[:, :hd] = (qq[:, i * hd:(i + 1) * hd].astype(jnp.float32)
                           * scale).astype(qa_ref.dtype)
@@ -305,13 +311,14 @@ def _global_packed_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref,
             preferred_element_type=jnp.float32)            # (nq, S)
         m = jnp.max(scores, axis=1, keepdims=True)
         p = jnp.exp(scores - m).astype(vv.dtype)
-        l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+        va_ref[:, :hd] = vv[:, i * hd:(i + 1) * hd]
         acc = lax.dot_general(
-            p, vv[:, i * hd:(i + 1) * hd],
+            p, va_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32)            # (nq, hd+1)
         out_ref[0, :, :, i * hd:(i + 1) * hd] = (
-            (acc / l).astype(out_ref.dtype).reshape(rows, gw, hd))
+            (acc[:, :hd] / acc[:, hd:hd + 1]).astype(out_ref.dtype)
+            .reshape(rows, gw, hd))
 
 
 @functools.partial(jax.jit, static_argnames=("nh", "rows_per_blk", "scale",
@@ -357,7 +364,8 @@ def _call_global_packed(qkv, bias, nh, rows_per_blk, scale, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, gh, gw, c), qkv.dtype),
         scratch_shapes=[pltpu.VMEM((rows_per_blk * gw, aug), qkv.dtype),
-                        pltpu.VMEM((hpb, gh * gw, aug), qkv.dtype)],
+                        pltpu.VMEM((hpb, gh * gw, aug), qkv.dtype),
+                        pltpu.VMEM((gh * gw, hd + 1), qkv.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -381,8 +389,8 @@ def global_packed_attention(qkv: jax.Array, bias: jax.Array,
                                float(scale), interpret)
 
 
-def _window_packed_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref, *,
-                          nh, hd, win, scale, wcp=1):
+def _window_packed_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref,
+                          va_ref, *, nh, hd, win, scale, wcp=1):
     """One program per (batch, window-row, window-col): the window's packed
     (win², 3C) qkv block and its (win², nh*2*win) compact-bias block live
     in VMEM; per head the augmented operands are assembled into scratch
@@ -406,6 +414,8 @@ def _window_packed_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref, *,
     sel_w = ((r % win) == (j - win)) & (j >= win) & (j < 2 * win)
     ka_ref[:, hd:] = (sel_h | sel_w).astype(ka_ref.dtype)
     qa_ref[:, aug:] = jnp.zeros((sw, 128 - aug), qa_ref.dtype)
+    # ones lane for the PV sum-fold (see _global_packed_kernel)
+    va_ref[:, hd:hd + 1] = jnp.ones((sw, 1), va_ref.dtype)
 
     for wi in range(wcp):
         data = qkv_ref[0, 0, :, wi, :, :].reshape(sw, 3 * c)
@@ -423,13 +433,14 @@ def _window_packed_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref, *,
             m = jnp.max(scores, axis=1, keepdims=True)
             v = data[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
             p = jnp.exp(scores - m).astype(v.dtype)
-            l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+            va_ref[:, :hd] = v
             acc = lax.dot_general(
-                p, v,
+                p, va_ref[...],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             out_ref[0, 0, :, wi, :, h * hd:(h + 1) * hd] = (
-                (acc / l).astype(out_ref.dtype).reshape(win, win, hd))
+                (acc[:, :hd] / acc[:, hd:hd + 1]).astype(out_ref.dtype)
+                .reshape(win, win, hd))
 
 
 @functools.partial(jax.jit, static_argnames=("win", "nh", "scale",
@@ -455,7 +466,8 @@ def _call_window_packed(qkv_pad, bias_pad, win, nh, scale, interpret,
         out_shape=jax.ShapeDtypeStruct((b, nwy, win, nwx, win, c),
                                        qkv_pad.dtype),
         scratch_shapes=[pltpu.VMEM((win * win, 128), qkv_pad.dtype),
-                        pltpu.VMEM((win * win, 128), qkv_pad.dtype)],
+                        pltpu.VMEM((win * win, 128), qkv_pad.dtype),
+                        pltpu.VMEM((win * win, hd + 1), qkv_pad.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -464,7 +476,7 @@ def _call_window_packed(qkv_pad, bias_pad, win, nh, scale, interpret,
 
 
 def _window_packed_flat_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref,
-                               *, nh, hd, win, scale, nwx, nbuf=1):
+                               va_ref, *, nh, hd, win, scale, nwx, nbuf=1):
     """Full-window-row programs over the FLAT (B, Hp, Wp, 3C) array.
 
     The 6-D window reshape of the blocked variant is a sublane relayout
@@ -485,6 +497,8 @@ def _window_packed_flat_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref,
     for bno in range(nbuf):
         ka_ref[bno, :, hd:] = (sel_h | sel_w).astype(ka_ref.dtype)
         qa_ref[bno, :, aug:] = jnp.zeros((sw, 128 - aug), qa_ref.dtype)
+        # ones lane for the PV sum-fold (see _global_packed_kernel)
+        va_ref[bno, :, hd:hd + 1] = jnp.ones((sw, 1), va_ref.dtype)
 
     # qa/ka scratch rotates over nbuf buffers: with one buffer every
     # unrolled (window, head) iteration has a write-after-read hazard on
@@ -511,13 +525,14 @@ def _window_packed_flat_kernel(qkv_ref, bias_ref, out_ref, qa_ref, ka_ref,
             m = jnp.max(scores, axis=1, keepdims=True)
             v = data[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
             p = jnp.exp(scores - m).astype(v.dtype)
-            l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+            va_ref[bno, :, :hd] = v
             acc = lax.dot_general(
-                p, v,
+                p, va_ref[bno],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             out_ref[0, :, cols, h * hd:(h + 1) * hd] = (
-                (acc / l).astype(out_ref.dtype).reshape(win, win, hd))
+                (acc[:, :hd] / acc[:, hd:hd + 1]).astype(out_ref.dtype)
+                .reshape(win, win, hd))
 
 
 @functools.partial(jax.jit, static_argnames=("win", "nh", "scale",
@@ -534,7 +549,8 @@ def _call_window_packed_flat(qkv_pad, bias_pad, win, nh, scale, interpret,
         (1, win, wp, last), lambda i, y: (i, y, 0, 0),
         memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((nbuf, win * win, 128), qkv_pad.dtype),
-               pltpu.VMEM((nbuf, win * win, 128), qkv_pad.dtype)]
+               pltpu.VMEM((nbuf, win * win, 128), qkv_pad.dtype),
+               pltpu.VMEM((nbuf, win * win, hd + 1), qkv_pad.dtype)]
     kernel = functools.partial(_window_packed_flat_kernel, nh=nh,
                                hd=hd, win=win, scale=scale, nwx=nwx,
                                nbuf=nbuf)

@@ -23,8 +23,42 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import json  # noqa: E402
+import pathlib  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# fast / slow lanes.  Tests whose recorded CPU duration exceeds the threshold
+# are auto-marked ``slow`` from the committed timing snapshot — the fast lane
+# (`pytest -m "not slow"`, <5 min) is the working-cadence signal, the full
+# suite (~23 min) the nightly lane.  Durations come from a full-suite
+# ``--durations=0`` run; refresh with
+#   python -m pytest tests/ -q --durations=0 | <update tests/durations.json>
+# New tests without a recorded duration default to the fast lane.
+# ---------------------------------------------------------------------------
+_SLOW_THRESH_S = 5.5
+# parity classes that must stay in the fast lane even though they are slow:
+# the recorded end-to-end reference-agreement golden (coarse+CCA+SAM).
+_ALWAYS_FAST = {
+    "tests/test_agreement_recorded.py::test_recorded_agreement[cca-True]",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    try:
+        recorded = json.loads(
+            (pathlib.Path(__file__).parent / "durations.json").read_text())
+    except (OSError, ValueError):
+        return
+    for item in items:
+        nodeid = item.nodeid.replace("\\", "/")
+        if not nodeid.startswith("tests/"):
+            nodeid = "tests/" + nodeid.split("tests/")[-1]
+        if (recorded.get(nodeid, 0.0) > _SLOW_THRESH_S
+                and nodeid not in _ALWAYS_FAST):
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture

@@ -123,18 +123,57 @@ def test_packed_flash_kernel_matches_einsum(nh):
                                    atol=2e-5, rtol=1e-4)
 
 
+def test_packed_aug_matches_loop():
+    """The augmented-operand kernel (mask/scale/row-sum folded into the MXU
+    dots) vs the plain fori_loop kernel: the only numeric difference is the
+    softmax row-sum's accumulation order (MXU tree vs VPU sequential), so
+    outputs agree to ~1 ulp of the normalizer (scale is a power of two =>
+    the q-side fold is exact)."""
+    import os
+
+    from protosam_tpu.ops.attention import masked_flash_attention_packed
+
+    b, s, nh, hd = 2, 256, 4, 16
+    rng = np.random.default_rng(11)
+    for dt in (np.float32, jnp.bfloat16):
+        qkv = jnp.asarray(rng.standard_normal((b, s, 3 * nh * hd)), dt)
+        for n_valid in (None, 200):
+            os.environ["PTPU_PACKED_AUG"] = "0"
+            try:
+                loop = masked_flash_attention_packed(
+                    qkv, scale=0.25, num_heads=nh, n_valid=n_valid,
+                    interpret=True)
+            finally:
+                os.environ.pop("PTPU_PACKED_AUG", None)
+            pipe = masked_flash_attention_packed(
+                qkv, scale=0.25, num_heads=nh, n_valid=n_valid,
+                interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(loop.astype(jnp.float32)),
+                np.asarray(pipe.astype(jnp.float32)),
+                atol=5e-7, rtol=2e-6)
+
+
 def test_packed_head_grid_matches_loop():
     """The head-pair-per-program variant (grid over (batch, nh//2), constant
-    qkv index map) must be bit-identical to the fori_loop kernel."""
+    qkv index map) must be bit-identical to the serial fori_loop kernel
+    (PTPU_PACKED_AUG=0 pins the loop side to the baseline kernel — the aug
+    kernel's MXU row-sum differs in accumulation order)."""
+    import os
+
     from protosam_tpu.ops.attention import masked_flash_attention_packed
 
     b, s, nh, hd = 2, 256, 4, 16
     rng = np.random.default_rng(7)
     qkv = jnp.asarray(rng.standard_normal((b, s, 3 * nh * hd)), jnp.float32)
     for n_valid in (None, 200):
-        loop = masked_flash_attention_packed(
-            qkv, scale=0.25, num_heads=nh, n_valid=n_valid,
-            interpret=True, head_grid=False)
+        os.environ["PTPU_PACKED_AUG"] = "0"
+        try:
+            loop = masked_flash_attention_packed(
+                qkv, scale=0.25, num_heads=nh, n_valid=n_valid,
+                interpret=True, head_grid=False)
+        finally:
+            os.environ.pop("PTPU_PACKED_AUG", None)
         grid = masked_flash_attention_packed(
             qkv, scale=0.25, num_heads=nh, n_valid=n_valid,
             interpret=True, head_grid=True)
