@@ -55,6 +55,12 @@ class ProtoSAMConfig:
     use_points: bool = True
     use_bbox: bool = True
     use_mask: bool = False
+    # reproduce the reference's uint8 cast of the mask prompt (its -8 bg
+    # fill wraps to 248, predict_w_masks ProtoSAM.py:479) — OFF by default
+    # (the fixed 10/-8 prompt is what the code plainly intends; PARITY.md),
+    # ON in the recorded-golden harness so the use_mask flag is verifiable
+    # against the reference's actual output
+    mask_prompt_uint8_wrap: bool = False
     use_neg_points: bool = False
     use_cca: bool = True
     point_mode: str = BOTH_MODE
@@ -221,7 +227,8 @@ class ProtoSAM:
                       jnp.arange(1, k + 1, dtype=jnp.int32)[:, None, None])
             low = resize_nearest(onehot.astype(jnp.float32)[:, None],
                                  (side, side))[:, 0]
-            mask_inputs = jnp.where(low > 0.5, 10.0, -8.0)[..., None]
+            bg_fill = 248.0 if cfg.mask_prompt_uint8_wrap else -8.0
+            mask_inputs = jnp.where(low > 0.5, 10.0, bg_fill)[..., None]
 
         # --- SAM input image: the reference's uint8 min-max renorm quirk ---
         # (ProtoSAM.py:651-660): sam_trans with mean 0/std 1 (identity), then

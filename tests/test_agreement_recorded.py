@@ -39,7 +39,12 @@ def our_pipeline_params():
     return our_sam, our_params
 
 
-@pytest.mark.parametrize("tag,use_cca", [("cca", True), ("all", False)])
+@pytest.mark.parametrize("tag,use_cca", [
+    ("cca", True), ("all", False),
+    # the remaining prompt-flag combinations of the reference forward
+    # (models/ProtoSAM.py:266-466), recorded by the same tool
+    ("conf2", True), ("centroid", True), ("neg", True), ("mask", True),
+])
 def test_recorded_agreement(our_pipeline_params, tmp_path, tag, use_cca):
     from tests.reference_compat import synthetic_agreement_case
 
@@ -54,7 +59,17 @@ def test_recorded_agreement(our_pipeline_params, tmp_path, tag, use_cca):
     our_sam, our_params = our_pipeline_params
     pipe = ProtoSAM(None, None, our_sam, our_params,
                     ProtoSAMConfig(image_size=(256, 256), max_ccs=8,
-                                   use_cca=use_cca))
+                                   use_cca=use_cca,
+                                   use_points=cfg["use_points"],
+                                   use_bbox=cfg["use_bbox"],
+                                   use_mask=cfg["use_mask"],
+                                   use_neg_points=cfg["use_neg_points"],
+                                   point_mode=cfg["point_mode"],
+                                   num_points_for_sam=cfg["num_points_for_sam"],
+                                   # the goldens were recorded through the
+                                   # reference's uint8 cast of the mask
+                                   # prompt (ProtoSAM.py:479)
+                                   mask_prompt_uint8_wrap=cfg["use_mask"]))
     ours_dir = tmp_path / tag
     ours_dir.mkdir()
     for i, name in enumerate(cfg["files"]):

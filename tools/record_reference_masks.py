@@ -67,13 +67,48 @@ def record_synthetic(out_dir: str) -> dict:
         "n_slices": len(AGREEMENT_BLOBS),
         "configs": {},
     }
-    for tag, use_cca in (("cca", True), ("all", False)):
+    # every prompt-flag combination the reference forward supports
+    # (models/ProtoSAM.py:266-466): the headline both-mode pair plus the
+    # conf/centroid point modes, multi-point, negative points, and
+    # mask prompts (the latter recorded WITH the reference's uint8 wrap of
+    # the -8 background fill, :479 — replayed via mask_prompt_uint8_wrap)
+    configs = {
+        "cca": dict(use_cca=True),
+        "all": dict(use_cca=False),
+        "conf2": dict(use_cca=True, point_mode="conf",
+                      num_points_for_sam=2),
+        "centroid": dict(use_cca=True, point_mode="centroid"),
+        "neg": dict(use_cca=True, use_neg_points=True),
+        "mask": dict(use_cca=True, use_points=False, use_bbox=False,
+                     use_mask=True),
+    }
+    import cv2 as _cv2
+
+    class _CvShim:
+        """predict_w_masks hardcodes the PRODUCTION mask-prompt frame
+        (cv2.resize(in_mask, (256, 256)), ProtoSAM.py:472 — i.e. 4x the
+        1024-model's 64-token embed grid).  The tiny seeded SAM's grid is
+        16, so redirect exactly that call to the scaled frame (4*16); all
+        other cv2 calls pass through untouched."""
+
+        def __getattr__(self, attr):
+            return getattr(_cv2, attr)
+
+        def resize(self, img, size, **kwargs):
+            if tuple(size) == (256, 256):
+                size = (64, 64)
+            return _cv2.resize(img, size, **kwargs)
+
+    for tag, over in configs.items():
+        kw = dict(num_points_for_sam=1, use_points=True, use_bbox=True,
+                  use_mask=False, use_neg_points=False, point_mode="both")
+        kw.update(over)
+        sys.modules["models.ProtoSAM"].cv2 = (
+            _CvShim() if kw["use_mask"] else _cv2)
         ref = P.ProtoSAM((256, 256),
                          StubCoarseModel(torch.zeros(1)),  # set per slice
                          sam_pretrained_path="unused_vit_b.pth",
-                         num_points_for_sam=1, use_points=True,
-                         use_bbox=True, use_cca=use_cca,
-                         point_mode=P.BOTH_MODE, use_sam_trans=True)
+                         use_sam_trans=True, **kw)
         ref.eval()
         names = []
         for i in range(len(AGREEMENT_BLOBS)):
@@ -88,10 +123,7 @@ def record_synthetic(out_dir: str) -> dict:
             name = f"syn_{tag}_{i:03d}.npy"
             np.save(os.path.join(out_dir, name), mask)
             names.append(name)
-        manifest["configs"][tag] = {
-            "use_cca": use_cca, "point_mode": "both", "use_points": True,
-            "use_bbox": True, "num_points_for_sam": 1, "files": names,
-        }
+        manifest["configs"][tag] = dict(kw, files=names)
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
