@@ -32,3 +32,49 @@ def rle_to_mask(rle: dict) -> np.ndarray:
 
 def area_from_rle(rle: dict) -> int:
     return sum(rle["counts"][1::2])
+
+
+def coco_encode_rle(rle: dict) -> dict:
+    """Uncompressed RLE -> COCO compressed-string RLE.
+
+    Pure-python port of pycocotools' rleToString (maskApi.c): 5 data bits
+    per char + a continuation bit, ASCII offset 48, counts delta-encoded
+    against counts[i-2] from the 4th element on.  The reference reaches
+    this through pycocotools (segment_anything/utils/amg.py:294-300,
+    coco_encode_rle); output is byte-compatible."""
+    cnts = rle["counts"]
+    chars = []
+    for i, x in enumerate(cnts):
+        if i > 2:
+            x -= cnts[i - 2]
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5  # python's >> on negatives is arithmetic, like C long
+            more = (x != -1) if (c & 0x10) else (x != 0)
+            if more:
+                c |= 0x20
+            chars.append(chr(c + 48))
+    return {"size": rle["size"], "counts": "".join(chars)}
+
+
+def coco_decode_rle(rle: dict) -> dict:
+    """COCO compressed-string RLE -> uncompressed RLE (pycocotools'
+    rleFrString inverse, for round-trip verification)."""
+    s = rle["counts"]
+    cnts: list[int] = []
+    p = 0
+    while p < len(s):
+        x, k, more = 0, 0, True
+        while more:
+            c = ord(s[p]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            p += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(cnts) > 2:
+            x += cnts[-2]
+        cnts.append(x)
+    return {"size": rle["size"], "counts": cnts}

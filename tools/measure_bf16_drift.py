@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""Measure bf16-production-path mask drift vs the f32 strict path (PARITY.md
+scopes strict reference agreement to f32; the flagship bench runs bf16 —
+this records how far the bf16 masks actually move).
+
+Two measurements, both on the REAL TPU (the bf16 path exercises the Pallas
+kernels, which CPU test runs replace with einsum fallbacks):
+
+1. --goldens: the recorded-agreement geometry (tiny seeded SAM, converted
+   weights, 6 synthetic slices x cca/all configs).  Reports Dice(bf16 vs
+   f32 strict) and Dice(bf16 vs the recorded reference masks).  NOTE: the
+   tiny random-weight decoder's logits sit near the 0 threshold, so this is
+   a WORST-CASE number (threshold-adjacent pixels flip under any rounding).
+2. --bench: the flagship bench geometry (DINOv2-L + SAM vit_b, 672px,
+   role-aware synthetic params, smooth CHAOS-like slices) — realistic
+   activation dynamic range, the number that describes production.
+
+Usage: python tools/measure_bf16_drift.py [--goldens] [--bench]
+Prints one JSON line per measurement.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _dice(a, b):
+    import numpy as np
+
+    a = np.asarray(a) > 0
+    b = np.asarray(b) > 0
+    denom = a.sum() + b.sum()
+    return 1.0 if denom == 0 else float(2.0 * np.logical_and(a, b).sum()
+                                        / denom)
+
+
+def measure_goldens():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tests.reference_compat import (
+        AGREEMENT_BLOBS,
+        build_tiny_torch_sam,
+        synthetic_agreement_case,
+    )
+
+    from protosam_tpu.models.sam import build_sam
+    from protosam_tpu.pipeline import ProtoSAM, ProtoSAMConfig
+    from protosam_tpu.utils.torch_convert import convert_sam
+
+    params = convert_sam(build_tiny_torch_sam().state_dict())
+    golden_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "goldens", "ref_masks")
+
+    out = {}
+    for tag, use_cca in (("cca", True), ("all", False)):
+        preds = {}
+        for dt_name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+            sam = build_sam("vit_t", image_size=256, dtype=dt)
+            pipe = ProtoSAM(None, None, sam, params,
+                            ProtoSAMConfig(image_size=(256, 256), max_ccs=8,
+                                           use_cca=use_cca))
+            masks = []
+            for i in range(len(AGREEMENT_BLOBS)):
+                qry, logits = synthetic_agreement_case(i)
+                pred, _s, _ = pipe._jit_refine(params, jnp.asarray(qry),
+                                               jnp.asarray(logits))
+                masks.append(np.asarray(pred) > 0)
+            preds[dt_name] = masks
+        vs_f32 = [_dice(a, b) for a, b in zip(preds["bf16"], preds["f32"])]
+        ref = [np.load(os.path.join(golden_dir, f"syn_{tag}_{i:03d}.npy"))
+               for i in range(len(AGREEMENT_BLOBS))]
+        vs_ref = [_dice(a, b) for a, b in zip(preds["bf16"], ref)]
+        out[tag] = {"dice_bf16_vs_f32": [round(d, 4) for d in vs_f32],
+                    "dice_bf16_vs_reference": [round(d, 4) for d in vs_ref],
+                    "min_vs_f32": round(min(vs_f32), 4),
+                    "min_vs_reference": round(min(vs_ref), 4)}
+    print(json.dumps({"measurement": "goldens (tiny seeded SAM, worst-case)",
+                      **out}))
+    return out
+
+
+def measure_bench(n_slices=8):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from protosam_tpu.models.alpnet import FewShotSeg
+    from protosam_tpu.models.io_protocol import ALPNetInput
+    from protosam_tpu.models.sam import build_sam
+    from protosam_tpu.ops.resize import resize_bilinear
+    from protosam_tpu.pipeline import ProtoSAM, ProtoSAMConfig
+    from protosam_tpu.utils.synthetic import synthetic_params
+
+    image_size = 672
+    rng = jax.random.PRNGKey(0)
+    supp = jax.random.normal(rng, (1, 3, image_size, image_size), jnp.float32)
+    fg = jnp.zeros((1, image_size, image_size))
+    q = image_size // 3
+    fg = fg.at[:, q:2 * q, q:2 * q].set(1.0)
+    qry0 = jax.random.normal(jax.random.PRNGKey(1),
+                             (1, 3, image_size, image_size), jnp.float32)
+    low = jax.random.normal(jax.random.PRNGKey(2),
+                            (n_slices, 3, 21, 21), jnp.float32)
+    vol = resize_bilinear(low, (image_size, image_size)) * 3.0
+
+    masks = {}
+    for dt_name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        coarse = FewShotSeg(image_size=image_size, which_model="dinov2_l14",
+                            dtype=dt)
+        sam = build_sam("vit_b", dtype=dt, image_size=1024)
+        coarse_shapes = jax.eval_shape(
+            lambda r: coarse.init(r, supp, fg, 1 - fg, qry0)["params"], rng)
+        sam_shapes = jax.eval_shape(
+            lambda r: sam.init(
+                r, jnp.zeros((1, 1024, 1024, 3)), jnp.zeros((1, 1, 2)),
+                jnp.ones((1, 1), jnp.int32), jnp.zeros((1, 4)))["params"],
+            rng)
+        cp = jax.device_put(synthetic_params(coarse_shapes))
+        sp = jax.device_put(synthetic_params(sam_shapes))
+        pipe = ProtoSAM(coarse, cp, sam, sp,
+                        ProtoSAMConfig(image_size=(1024, 1024), max_ccs=8))
+        inp = ALPNetInput(supp, fg, qry0, isval=True, val_wsize=2)
+        inp.supp_fts = pipe._jit_supp_fts(cp, inp.supp_imgs)
+        preds, _ = pipe.forward_volume(vol, inp, slice_batch=n_slices)
+        masks[dt_name] = np.asarray(preds.astype(jnp.float32)) > 0
+        print(f"  {dt_name}: fg fraction "
+              f"{masks[dt_name].mean():.4f}", file=sys.stderr, flush=True)
+
+    dices = [_dice(masks["bf16"][i], masks["f32"][i])
+             for i in range(n_slices)]
+    res = {"measurement": "bench geometry (dinov2_l14+vit_b 672px, "
+                          "role-aware synthetic params)",
+           "dice_bf16_vs_f32_per_slice": [round(d, 4) for d in dices],
+           "min": round(min(dices), 4),
+           "mean": round(sum(dices) / len(dices), 4)}
+    print(json.dumps(res))
+    return res
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    if "--goldens" in args or not args:
+        measure_goldens()
+    if "--bench" in args or not args:
+        measure_bench(int(os.environ.get("DRIFT_SLICES", "8")))
