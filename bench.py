@@ -12,6 +12,11 @@ Env knobs:
   BENCH_PIPE      protosam (default) | medsam (box-prompt ProtoMedSAM)
   BENCH_FEEDER    1 = disk-fed via the native NIfTI decoder + on-device
                   preprocess; host = all-host C++ preprocess variant
+  BENCH_INCLUDE_VITH  1 = ALSO measure the paper's DINOv2-L + SAM-H config
+                  and embed it as a "vit_h" sub-object in the same JSON
+                  line (adds ~15 min of compile; off by default to respect
+                  the driver's time budget — the committed BENCH_VITH
+                  artifacts carry the measured number between runs)
 
 Prints ONE JSON line.
 """
@@ -288,6 +293,25 @@ def main():
             out["dp_scaling"] = "collective-free shard_map; linear in chips"
         except Exception:
             pass
+    if (os.environ.get("BENCH_INCLUDE_VITH") == "1" and sam_ver == "vit_b"
+            and not smoke):
+        # the paper's flagship refine model, measured in a fresh process
+        # (its own HBM footprint) and embedded in the same JSON line
+        import subprocess
+
+        env = dict(os.environ, BENCH_SAM_VER="vit_h",
+                   BENCH_RUNS=os.environ.get("BENCH_VITH_RUNS", "2"),
+                   BENCH_INCLUDE_VITH="0")
+        try:
+            res = subprocess.run(["python", os.path.abspath(__file__)],
+                                 capture_output=True, text=True,
+                                 timeout=3000, env=env)
+            sub = json.loads(res.stdout.strip().splitlines()[-1])
+            out["vit_h"] = {k: sub[k] for k in
+                            ("value", "n", "spread", "single_chip_ceiling",
+                             "pct_of_ceiling") if k in sub}
+        except Exception as e:  # record the failure, don't lose the headline
+            out["vit_h"] = {"error": str(e)[:200]}
     print(json.dumps(out))
 
 

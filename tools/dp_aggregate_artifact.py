@@ -84,7 +84,9 @@ def main():
                            jnp.zeros((1, 4)))["params"], rng)
     pipe = ProtoSAM(coarse, None, sam, None, pipe_cfg)
     supp_fts_shapes = jax.eval_shape(
-        lambda p, s: pipe._supp_fts_core(p, s), cp_shapes, supp)
+        lambda p, s: coarse.apply({"params": p}, s,
+                                  method=coarse.get_features),
+        cp_shapes, supp)
 
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("data"))
@@ -112,8 +114,9 @@ def main():
         "hlo_bytes": len(hlo),
     }
     assert not found, f"dp program contains collectives: {found}"
-    print(f"full-geometry dp compile OK ({result['full_geometry_compile']"
-          f"['compile_s']}s, zero collectives)", flush=True)
+    comp_s = result["full_geometry_compile"]["compile_s"]
+    print(f"full-geometry dp compile OK ({comp_s}s, zero collectives)",
+          flush=True)
 
     # ---- part 2: tiny-geometry EXECUTION, bit-equal to single device ------
     import numpy as np
