@@ -149,6 +149,8 @@ def layer_norm_tokens(x: jax.Array, scale: jax.Array, bias: jax.Array,
     shapes without an 8-multiple row divisor.  See the module comment
     for why this exists (layout pin).
     """
+    import os
+
     out_dtype = jnp.dtype(out_dtype or x.dtype)
     c = x.shape[-1]
     n = 1
@@ -159,7 +161,8 @@ def layer_norm_tokens(x: jax.Array, scale: jax.Array, bias: jax.Array,
     def math_path(x2, scale, bias):
         return _ln_math(x2, scale, bias, epsilon).astype(out_dtype)
 
-    if pl is None or _ln_rows(n) is None:
+    if (pl is None or _ln_rows(n) is None
+            or os.environ.get("PTPU_LN_PALLAS", "1") == "0"):
         return math_path(x2, scale, bias).reshape(x.shape)
 
     def kernel_path(x2, scale, bias):

@@ -3,3 +3,6 @@ from protosam_tpu.parallel.sharding import (  # noqa: F401
     make_mesh,
     shard_batch,
 )
+from protosam_tpu.parallel.pipeline import (  # noqa: F401
+    PipelinedVolumeRunner,
+)
