@@ -60,6 +60,22 @@ MEASURED_MS_PER_SLICE = {
     "decode + postprocess": 1.2,
 }
 
+# DEMONSTRATED stage costs, ms per batch-8 (r3 device measurements) — the
+# flop ceiling above assumes perfect 128-lane MXU packing and zero VPU
+# time; this table is what the best kernels built so far actually achieve
+# on this chip, i.e. an evidence-backed achievable ceiling.  Sources:
+# ROUND_NOTES.md r3 (encoder benches + volume traces).
+DEMONSTRATED_MS_B8 = {
+    "dinov2_l14 encoder": 116.0,     # aug-kernel attention, r3
+    "vit_b sam encoder": 106.9,      # sum-folded window/global, r3
+    "cca + prompts + decode tail": 28.0,  # r3 batch-8 volume trace
+}
+
+
+def demonstrated_ceiling() -> float:
+    """slices/sec/chip if every stage ran at its best demonstrated cost."""
+    return 8.0 / sum(DEMONSTRATED_MS_B8.values()) * 1e3
+
 
 def _pad128(n: int) -> int:
     return (n + 127) // 128 * 128
@@ -135,6 +151,12 @@ def main():
     ceiling = b / ideal_ms * 1e3
     print(f"\nthroughput ceiling at calibrated peak: "
           f"{ceiling:.1f} slices/sec/chip")
+    if args.coarse == "dinov2_l14" and args.sam == "vit_b":
+        dem = demonstrated_ceiling()
+        print(f"demonstrated-stage ceiling (best measured kernels, r3): "
+              f"{dem:.1f} slices/sec/chip")
+        for name, ms in DEMONSTRATED_MS_B8.items():
+            print(f"  {name:<28}{ms:>8.1f} ms/batch-8")
     if args.measured_ms:
         eff = ideal_ms / args.measured_ms * 100
         print(f"measured {args.measured_ms:.0f} ms/batch -> "
