@@ -277,8 +277,12 @@ def _masked_flash_packed(qkv, scale, n_valid, nh, interpret,
             scratch_shapes=[pltpu.VMEM((s, hd + 1), qkv.dtype),
                             pltpu.VMEM((s, hd + 1), qkv.dtype),
                             pltpu.VMEM((s, hd + 1), qkv.dtype)],
+            # f32 STRICT-path inputs at DINOv2-L (S=2432): the (S, 3C) f32
+            # block + f32 score temporaries reach ~109 MB of scoped VMEM —
+            # over the usual 100 MB margin but comfortably inside the
+            # v5e's 128 MB (verified on chip by the f32 drift run)
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=118 * 1024 * 1024),
             interpret=interpret,
         )(qkv)
     if head_grid and nh % 2 == 0:

@@ -27,6 +27,7 @@ def _install_reference_stubs():
     * ``kneed`` / ``sklearn`` — imported by util.utils at module level, used
       only by legacy helpers the forward never calls.
     """
+    import importlib.machinery
     import importlib.util
     import types
 
@@ -35,10 +36,27 @@ def _install_reference_stubs():
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
 
+    # transformers caches third-party availability at import time
+    # (utils/import_utils.py module globals); import it BEFORE the sklearn
+    # stub exists so it records the TRUE absence — otherwise the stub makes
+    # `sklearn` look importable and transformers later dies on
+    # `from sklearn.metrics import roc_curve` (test-order dependent)
+    try:
+        import transformers.utils.import_utils  # noqa: F401
+    except ImportError:  # pragma: no cover
+        pass
+
     def _ensure(name, **attrs):
         if name in sys.modules:
             return sys.modules[name]
         m = types.ModuleType(name)
+        # a real ModuleSpec so importlib.util.find_spec(name) returns it
+        # instead of raising "__spec__ is None" when other libraries probe;
+        # mark it a package (submodule_search_locations/__path__) so
+        # `from stub.sub import x` resolves through sys.modules
+        m.__spec__ = importlib.machinery.ModuleSpec(
+            name, None, is_package=True)
+        m.__path__ = []
         for k, v in attrs.items():
             setattr(m, k, v)
         sys.modules[name] = m
@@ -63,6 +81,11 @@ def _install_reference_stubs():
     _ensure("kneed", KneeLocator=object)
     _ensure("sklearn")
     _ensure("sklearn.decomposition", PCA=object)
+    # transformers' generation module does `from sklearn.metrics import
+    # roc_curve` whenever sklearn LOOKS importable (the availability probe
+    # is lazy); satisfy the name so the HF parity/golden fixtures can
+    # import AutoModel after the stubs are installed
+    _ensure("sklearn.metrics", roc_curve=None)
     # vendored SAM as the top-level package (after the torchvision stubs,
     # which its transforms module imports)
     if "segment_anything" not in sys.modules:
