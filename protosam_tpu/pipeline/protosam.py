@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -73,6 +74,30 @@ class ProtoSAMConfig:
         if not (self.use_bbox or self.use_points or self.use_mask):
             raise ValueError("must use at least one of bbox, points, or mask")
 
+
+
+def _xla_opts(sam_model):
+    """Per-compile XLA options for the big-model pipeline programs.
+
+    r3 HLO forensics: XLA's default 16 MB per-fusion scoped-VMEM budget
+    caps the vit_h fc2 conv emitter at a 64-wide K window (half an MXU
+    K-tile); 48 MB lets it pick full tiles — measured -4% on the vit_h
+    encoder (491.7 vs 511.7 ms/batch-8), neutral at vit_b (108.0 vs
+    106.9), so it is applied only when the SAM encoder is wider than
+    1024.  ``PTPU_SCOPED_VMEM_KIB`` overrides (any model; "0" disables);
+    only forwarded on TPU backends (the CPU compiler rejects the flag).
+    """
+    kib = os.environ.get("PTPU_SCOPED_VMEM_KIB")
+    if kib == "0":
+        return None
+    if kib is None:
+        embed = getattr(sam_model, "encoder_embed_dim", 0) or 0
+        if embed < 1280:
+            return None
+        kib = "49152"
+    if jax.default_backend() not in ("tpu", "axon"):
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": kib}
 
 def _keep_best_component(stats: ComponentStats, conf: jax.Array
                          ) -> tuple[ComponentStats, jax.Array]:
@@ -146,7 +171,8 @@ class ProtoSAM:
 
     @functools.cached_property
     def _jit_refine(self):
-        return jax.jit(self._refine_core)
+        return jax.jit(self._refine_core,
+                       compiler_options=_xla_opts(self.sam_model))
 
     def _refine_core(self, sam_params, qry, logits):
         cfg = self.config
@@ -336,7 +362,8 @@ class ProtoSAM:
 
     @functools.cached_property
     def _jit_volume(self):
-        return jax.jit(self._volume_core, static_argnames=("val_wsize",))
+        return jax.jit(self._volume_core, static_argnames=("val_wsize",),
+                       compiler_options=_xla_opts(self.sam_model))
 
     def _jit_volume_dp(self, mesh):
         """Slice-data-parallel volume program via ``jax.shard_map``: each
