@@ -253,6 +253,12 @@ class Attention(nn.Module):
             Dense(0) = bias (the reference zero-pads x before qkv)."""
             if not (ph or pw):
                 return qkv
+            # A strip-fill variant (jnp.pad + two narrow
+            # dynamic_update_slice writes instead of this whole-tensor
+            # where-select) was A/B'd on chip and is a WASH on both
+            # encoders (vit_h 492.1 vs 490.3, vit_b 108.7 vs 107.8
+            # ms/batch-8) while compiling ~50% slower — the pad_select
+            # fusion overlaps; keep the simple select (ROUND_NOTES r3).
             padded = jnp.pad(qkv, ((0, 0), (0, ph), (0, pw), (0, 0)))
             ymask = jnp.arange(hp) < h
             xmask = jnp.arange(wp) < w

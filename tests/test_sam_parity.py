@@ -74,6 +74,39 @@ def test_image_encoder_parity(tiny_encoder_pair):
 
 
 @pytest.fixture(scope="module")
+def padded_encoder_pair():
+    """80px/patch16 -> 5x5 tokens with window_size=2: ph=pw=1 exercises the
+    window-pad path (production vit at 1024px/win14 pads 64->70)."""
+    seeded_torch()
+    kw = dict(img_size=80, patch_size=16, embed_dim=64, depth=3, num_heads=4,
+              mlp_ratio=4.0, out_chans=32, use_rel_pos=True, window_size=2,
+              global_attn_indexes=(1,))
+    t = TorchEncoder(qkv_bias=True,
+                     norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+                     **kw).eval()
+    randomize(t)
+    f = ImageEncoderViT(**kw)
+    params = convert_sam({f"image_encoder.{k}": v
+                          for k, v in t.state_dict().items()})
+    return t, f, params["image_encoder"]
+
+
+def test_image_encoder_padded_windows(padded_encoder_pair):
+    """Torch parity at a geometry where windows pad (the production vit
+    at 1024px/win14 pads 64->70 tokens): pad tokens must carry the qkv
+    Dense bias — the reference zero-pads x BEFORE qkv
+    (reference image_encoder.py:280-302), ours pads the projection."""
+    t, f, params = padded_encoder_pair
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 80, 80, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = t(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    out = np.asarray(f.apply({"params": params}, jnp.asarray(x)))
+    got = out.transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+@pytest.fixture(scope="module")
 def prompt_encoder_pair():
     seeded_torch(1)
     t = TorchPromptEncoder(embed_dim=256, image_embedding_size=(64, 64),

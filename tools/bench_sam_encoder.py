@@ -73,9 +73,17 @@ def main():
 
     if os.environ.get("TRACE"):
         with jax.profiler.trace("/tmp/samtrace"):
-            float(prog(params, jnp.roll(x, 9, axis=1)))
+            float(call(params, jnp.roll(x, 9, axis=1)))
         from tools.trace_volume import parse_trace
         parse_trace("/tmp/samtrace")
+
+    if os.environ.get("HLO_OUT"):
+        compiled = call if scoped else prog.lower(params, x).compile()
+        txt = compiled.as_text()
+        with open(os.environ["HLO_OUT"], "w") as f:
+            f.write(txt)
+        print(f"optimized HLO -> {os.environ['HLO_OUT']} "
+              f"({len(txt)} bytes)", flush=True)
 
 
 if __name__ == "__main__":
