@@ -16,3 +16,11 @@ into the reference repository.
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compile cache: multi-minute encoder compiles (vit_h ~380 s+)
+# must be paid once per machine, not once per process.  No-op under
+# PTPU_NO_COMPILE_CACHE=1; safe before or after jax backend init.
+from protosam_tpu.utils.compile_cache import enable_compile_cache as _ecc
+
+_ecc()
+del _ecc

@@ -61,6 +61,46 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
 
 
+# ---------------------------------------------------------------------------
+# Fast-lane runtime guard: durations.json is a snapshot, so a NEW expensive
+# test silently lands in the fast lane until the snapshot is refreshed.  This
+# hook measures every test at runtime and reports unmarked tests that exceeded
+# the budget, so the <5-min signal can't silently degrade.  Runtime varies by
+# machine (the recorded threshold is 5.5 s on the reference box), so the
+# runtime bar is looser: 10 s.  PTPU_ENFORCE_FAST_LANE=1 turns the report into
+# a hard session failure (for CI-style runs).
+# ---------------------------------------------------------------------------
+_RUNTIME_SLOW_S = 10.0
+_runtime_overages: list[tuple[str, float]] = []
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_makereport(item, call):
+    outcome = yield
+    rep = outcome.get_result()
+    if rep.when != "call" or rep.duration <= _RUNTIME_SLOW_S:
+        return
+    if item.get_closest_marker("slow") is None \
+            and item.nodeid.replace("\\", "/") not in _ALWAYS_FAST:
+        _runtime_overages.append((item.nodeid, rep.duration))
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    if not _runtime_overages:
+        return
+    terminalreporter.section("fast-lane overages (unmarked slow tests)")
+    for nodeid, dur in sorted(_runtime_overages, key=lambda t: -t[1]):
+        terminalreporter.write_line(f"  {dur:7.1f}s  {nodeid}")
+    terminalreporter.write_line(
+        "Refresh tests/durations.json (full run with --durations=0) or mark "
+        "these @pytest.mark.slow to keep the fast lane under 5 minutes.")
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if _runtime_overages and os.environ.get("PTPU_ENFORCE_FAST_LANE") == "1":
+        session.exitstatus = 3
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

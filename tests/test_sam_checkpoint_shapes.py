@@ -3,6 +3,8 @@ our model's init tree shape-for-shape (catches layout drift without needing
 a forward pass)."""
 
 import importlib.util
+import json
+import pathlib
 import sys
 
 import numpy as np
@@ -97,6 +99,84 @@ def test_vit_h_checkpoint_tree_matches():
     want = jax.tree.map(lambda a: tuple(a.shape), params)
     got = jax.tree.map(lambda a: tuple(np.asarray(a).shape), converted)
     assert want == got
+
+
+_MANIFESTS = pathlib.Path(__file__).parent / "goldens" / "manifests"
+
+
+def _load_manifest(name):
+    p = _MANIFESTS / name
+    if not p.exists():
+        pytest.skip(f"manifest {name} not generated "
+                    "(tools/make_checkpoint_manifests.py)")
+    return json.loads(p.read_text())
+
+
+def test_committed_vit_h_manifest_matches_reference():
+    """The committed sam_vit_h key manifest == the reference's own
+    build_sam_vit_h state dict (guards manifest staleness)."""
+    import torch
+
+    manifest = _load_manifest("sam_vit_h_keys.json")
+    build = _load_build_sam()
+    with torch.device("meta"):
+        ref = build.build_sam_vit_h()
+    live = {k: list(v.shape) for k, v in ref.state_dict().items()}
+    assert manifest == live
+
+
+def test_committed_vit_h_manifest_converts():
+    """A full-size state dict synthesized from the COMMITTED manifest (the
+    public sam_vit_h_4b8939.pth layout) converts into exactly our flax
+    vit_h init tree, shape-for-shape."""
+    manifest = _load_manifest("sam_vit_h_keys.json")
+    sd = {k: np.zeros(tuple(s), np.float32) for k, s in manifest.items()
+          if not k.startswith(("pixel_mean", "pixel_std"))}
+
+    converted = convert_sam(sd)
+
+    sam = build_sam("vit_h")
+    params = jax.eval_shape(
+        lambda: sam.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 1024, 1024, 3)),
+                         jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32),
+                         jnp.zeros((1, 4))))["params"]
+
+    want = jax.tree.map(lambda a: tuple(a.shape), params)
+    got = jax.tree.map(lambda a: tuple(np.asarray(a).shape), converted)
+    assert want == got
+
+
+def test_committed_dinov2_hub_manifest_converts():
+    """Same for the committed torch.hub dinov2_vitl14 layout (derived
+    independently via HF's Dinov2 architecture — see
+    tools/make_checkpoint_manifests.py), routed through the ALPNet-snapshot
+    auto-detect path checkpoint.load_torch_snapshot uses."""
+    from protosam_tpu.models.dinov2 import build_dinov2
+    from protosam_tpu.utils.torch_convert import convert_dinov2
+
+    manifest = _load_manifest("dinov2_vitl14_hub_keys.json")
+    sd = {k: np.zeros(tuple(s), np.float32) for k, s in manifest.items()}
+
+    got = convert_dinov2(sd)
+
+    model = build_dinov2("dinov2_vitl14")
+    params = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 672, 672, 3))))["params"]
+    want_shapes = jax.tree.map(lambda a: tuple(a.shape), params)
+    got_shapes = jax.tree.map(lambda a: tuple(np.asarray(a).shape), got)
+    assert want_shapes == got_shapes
+
+    # the committed hub layout must agree with the in-repo synthetic one
+    # (tests/test_dinov2_convert.fake_hub_state_dict) key-for-key
+    from tests.test_dinov2_convert import fake_hub_state_dict
+
+    fake = fake_hub_state_dict(embed=1024, depth=24, heads=16, pos=37,
+                               registers=0)
+    assert set(manifest) == set(fake)
+    for k in manifest:
+        assert tuple(manifest[k]) == tuple(fake[k].shape), k
 
 
 def test_dinov2_l14_manifest_converts():
