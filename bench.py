@@ -126,7 +126,10 @@ def main():
         "BENCH_BATCH", "2" if smoke else str(n_slices)))
     image_size = 126 if smoke else 672
     coarse_name = "dinov2_t14" if smoke else "dinov2_l14"
-    dtype = jnp.float32 if smoke else jnp.bfloat16
+    # BENCH_DTYPE=f32 measures the VERIFIED path (strict parity runs f32,
+    # PARITY.md) so "fast" and "verified" both carry throughput numbers
+    dtype = (jnp.float32 if smoke or os.environ.get("BENCH_DTYPE") == "f32"
+             else jnp.bfloat16)
 
     coarse = FewShotSeg(image_size=image_size, which_model=coarse_name,
                         dtype=dtype)
@@ -313,6 +316,7 @@ def main():
                   f"({coarse_name}+{sam_ver}"
                   f"{' medsam' if os.environ.get('BENCH_PIPE') == 'medsam' else ''}, "
                   f"{image_size}px, "
+                  f"{'f32 strict, ' if dtype == jnp.float32 else ''}"
                   f"CHAOS-like volume{', disk-fed' if feeder else ''})",
         "value": round(value, 2),
         "unit": "slices/sec/chip",
@@ -357,7 +361,8 @@ def main():
     include_vith = os.environ.get(
         "BENCH_INCLUDE_VITH",
         "1" if os.path.exists(_VITH_MARKER) else "0") == "1"
-    if include_vith and sam_ver == "vit_b" and not smoke:
+    if (include_vith and sam_ver == "vit_b" and not smoke
+            and dtype == jnp.bfloat16):
         # the paper's flagship refine model, measured in a fresh process
         # (its own HBM footprint) and embedded in the same JSON line
         import subprocess
@@ -376,7 +381,7 @@ def main():
         except Exception as e:  # record the failure, don't lose the headline
             out["vit_h"] = {"error": str(e)[:200]}
     print(json.dumps(out))
-    if not smoke:
+    if not smoke and os.environ.get("BENCH_DTYPE") != "f32":
         _record_last_good(out)
 
 

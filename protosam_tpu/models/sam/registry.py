@@ -34,6 +34,10 @@ def build_sam(model_type: str = "vit_h", dtype=jnp.float32,
     if model_type not in _CONFIGS:
         raise KeyError(f"unknown SAM model type {model_type!r}; "
                        f"have {sorted(_CONFIGS)}")
+    # production bf16 builds keep the decode tail (prompt encoder + mask
+    # decoder) in f32: ~1% of pipeline FLOPs, but its 0-thresholded logits
+    # are where bf16 rounding moves mask boundaries (PARITY.md drift).
+    overrides.setdefault("decoder_dtype", jnp.float32)
     return Sam(image_size=image_size, dtype=dtype, **_CONFIGS[model_type],
                **overrides)
 

@@ -37,6 +37,12 @@ class Sam(nn.Module):
     image_size: int = 1024
     vit_patch_size: int = 16
     dtype: jnp.dtype = jnp.float32
+    # Compute dtype for the prompt encoder + mask decoder.  None follows
+    # ``dtype``.  Production bf16 builds set float32 here (registry
+    # default): the decode tail is ~1% of pipeline FLOPs but its logits are
+    # thresholded at 0, so bf16 rounding there flips mask-boundary pixels —
+    # the dominant term of the measured bf16-vs-f32 drift (PARITY.md).
+    decoder_dtype: jnp.dtype | None = None
     # Pallas flash attention with on-the-fly rel-pos for the global blocks
     # (ops/vitdet_flash.py, 2.9x over chunked XLA on v5e); lowering for CPU
     # falls back to the chunked path via jax.lax.platform_dependent.
@@ -65,15 +71,18 @@ class Sam(nn.Module):
             window_wcp=self.window_wcp,
             global_backend=self.global_backend,
         )
+        dec_dt = (self.dtype if self.decoder_dtype is None
+                  else self.decoder_dtype)
         self.prompt_encoder = PromptEncoder(
             embed_dim=self.prompt_embed_dim,
             image_embedding_size=(grid, grid),
             input_image_size=(self.image_size, self.image_size),
             mask_in_chans=16,
-            dtype=self.dtype,
+            dtype=dec_dt,
         )
         self.mask_decoder = MaskDecoder(
-            transformer_dim=self.prompt_embed_dim, dtype=self.dtype)
+            transformer_dim=self.prompt_embed_dim, dtype=dec_dt)
+        self._decode_dtype = dec_dt
 
     def encode_image(self, x: jax.Array) -> jax.Array:
         """x: (B, H, W, 3) preprocessed -> (B, 64, 64, 256)."""
@@ -89,6 +98,7 @@ class Sam(nn.Module):
         coords: (B, P, 2); labels: (B, P); boxes: (B, 4) or None.
         Returns (low_res_masks (B, M, 256, 256), iou_pred (B, M)).
         """
+        image_embedding = image_embedding.astype(self._decode_dtype)
         sparse, dense = self.prompt_encoder(coords, labels, boxes, mask_inputs,
                                             pad_points=pad_points)
         b = sparse.shape[0]

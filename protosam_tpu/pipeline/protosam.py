@@ -210,9 +210,14 @@ class ProtoSAM:
         natively."""
         cfg = self.config
 
-        # resize query + logits into the SAM frame (reference :592-594)
+        # resize query + logits into the SAM frame (reference :592-594).
+        # The logit upsample + softmax + argmax run in f32 regardless of the
+        # model dtype: the argmax threshold is what seeds CCA and every
+        # prompt, so bf16 interpolation rounding here moves mask boundaries
+        # for free (the cast costs nothing — 2 channels).
         qimg = resize_bilinear(qry, cfg.image_size)
-        logits_hi = resize_bilinear(logits, cfg.image_size)
+        logits_hi = resize_bilinear(logits.astype(jnp.float32),
+                                    cfg.image_size)
         probs = jax.nn.softmax(logits_hi, axis=1)
         pred = jnp.argmax(probs, axis=1)[0].astype(jnp.float32)
 

@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""Replay the recorded reference-mask goldens on the CURRENT jax backend
+(meant for the real TPU) and write an agreement artifact.
+
+All 201 tests run on the CPU backend; round 3 found a real-chip-only Mosaic
+bf16 miscompile (stale-probability window kernel) that CPU/interpret runs
+could not see.  This script is the regression net for that bug class
+(VERDICT r3 #4): it drives every recorded prompt-flag config
+(tests/goldens/ref_masks, recorded from the reference's real
+ProtoSAM.forward — models/ProtoSAM.py:536-678) through the jitted pipeline
+on the chip, in BOTH f32-strict and the bf16 production dtype, and records
+per-config min/mean Dice vs the recorded masks plus bf16-vs-f32 drift.
+
+    python tools/replay_goldens_onchip.py [--out AGREEMENT_rNN.json]
+
+Exits 1 if the f32 path misses the >=0.99 committed bar on any config or
+the bf16 path regresses below --bf16-floor (default 0.97, the r3 measured
+worst case was 0.9737 with a bf16 decode tail; the tail is f32 now).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _dice(a, b):
+    import numpy as np
+
+    a = np.asarray(a) > 0
+    b = np.asarray(b) > 0
+    denom = a.sum() + b.sum()
+    return 1.0 if denom == 0 else float(2.0 * np.logical_and(a, b).sum()
+                                        / denom)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="artifact path (default: print only)")
+    ap.add_argument("--bf16-floor", type=float, default=0.97)
+    ap.add_argument("--configs", default=None,
+                    help="comma list (default: all recorded configs)")
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tests.reference_compat import (
+        build_tiny_torch_sam,
+        synthetic_agreement_case,
+    )
+
+    from protosam_tpu.models.sam import build_sam
+    from protosam_tpu.pipeline import ProtoSAM, ProtoSAMConfig
+    from protosam_tpu.utils.torch_convert import convert_sam
+
+    golden_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "goldens", "ref_masks")
+    with open(os.path.join(golden_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+
+    params = convert_sam(build_tiny_torch_sam().state_dict())
+    backend = jax.default_backend()
+    print(f"backend: {backend} ({jax.devices()})", file=sys.stderr,
+          flush=True)
+
+    want = (args.configs.split(",") if args.configs
+            else list(manifest["configs"]))
+    result = {"backend": backend, "configs": {}}
+    ok = True
+    for tag in want:
+        cfg = manifest["configs"][tag]
+        preds = {}
+        for dt_name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+            sam = build_sam("vit_t", image_size=256, dtype=dt)
+            pipe = ProtoSAM(
+                None, None, sam, params,
+                ProtoSAMConfig(image_size=(256, 256), max_ccs=8,
+                               use_cca=cfg["use_cca"],
+                               use_points=cfg["use_points"],
+                               use_bbox=cfg["use_bbox"],
+                               use_mask=cfg["use_mask"],
+                               use_neg_points=cfg["use_neg_points"],
+                               point_mode=cfg["point_mode"],
+                               num_points_for_sam=cfg["num_points_for_sam"],
+                               mask_prompt_uint8_wrap=cfg["use_mask"]))
+            masks = []
+            for i in range(len(cfg["files"])):
+                qry, logits = synthetic_agreement_case(i)
+                pred, _s, _ = pipe._jit_refine(params, jnp.asarray(qry),
+                                               jnp.asarray(logits))
+                masks.append(np.asarray(pred.astype(jnp.float32)) > 0)
+            preds[dt_name] = masks
+
+        ref = [np.load(os.path.join(golden_dir, name))
+               for name in cfg["files"]]
+        row = {}
+        for dt_name in ("f32", "bf16"):
+            d = [_dice(a, b) for a, b in zip(preds[dt_name], ref)]
+            row[f"{dt_name}_vs_reference"] = {
+                "min": round(min(d), 4),
+                "mean": round(sum(d) / len(d), 4)}
+        drift = [_dice(a, b) for a, b in zip(preds["bf16"], preds["f32"])]
+        row["bf16_vs_f32"] = {"min": round(min(drift), 4),
+                              "mean": round(sum(drift) / len(drift), 4)}
+        result["configs"][tag] = row
+        f32_min = row["f32_vs_reference"]["min"]
+        bf16_min = row["bf16_vs_reference"]["min"]
+        if f32_min < 0.99:
+            ok = False
+        if bf16_min < args.bf16_floor:
+            ok = False
+        print(f"{tag}: f32 min {f32_min}, bf16 min {bf16_min}, "
+              f"drift min {row['bf16_vs_f32']['min']}", file=sys.stderr,
+              flush=True)
+
+    result["passes"] = ok
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
