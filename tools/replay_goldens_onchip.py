@@ -22,6 +22,7 @@ import argparse
 import json
 import os
 import sys
+from contextlib import nullcontext as _nullcontext
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -76,24 +77,36 @@ def main():
         cfg = manifest["configs"][tag]
         preds = {}
         for dt_name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
-            sam = build_sam("vit_t", image_size=256, dtype=dt)
-            pipe = ProtoSAM(
-                None, None, sam, params,
-                ProtoSAMConfig(image_size=(256, 256), max_ccs=8,
-                               use_cca=cfg["use_cca"],
-                               use_points=cfg["use_points"],
-                               use_bbox=cfg["use_bbox"],
-                               use_mask=cfg["use_mask"],
-                               use_neg_points=cfg["use_neg_points"],
-                               point_mode=cfg["point_mode"],
-                               num_points_for_sam=cfg["num_points_for_sam"],
-                               mask_prompt_uint8_wrap=cfg["use_mask"]))
-            masks = []
-            for i in range(len(cfg["files"])):
-                qry, logits = synthetic_agreement_case(i)
-                pred, _s, _ = pipe._jit_refine(params, jnp.asarray(qry),
-                                               jnp.asarray(logits))
-                masks.append(np.asarray(pred.astype(jnp.float32)) > 0)
+            # The f32 leg is the STRICT-parity path: on TPU, default matmul
+            # precision lowers f32 dots to single-pass bf16 (the hardware
+            # MXU), which moves threshold-adjacent logits on these
+            # worst-case synthetic goldens (measured: f32-vs-reference min
+            # 0.975 at default vs >=0.99 at highest).  Scope the 3-pass
+            # precision to the f32 trace only — the bf16 production leg
+            # keeps default (a global override leaks fp32 contract
+            # precision into the bf16 Pallas kernels, which Mosaic
+            # rejects).
+            prec = jax.default_matmul_precision(
+                "highest") if dt_name == "f32" else _nullcontext()
+            with prec:
+                sam = build_sam("vit_t", image_size=256, dtype=dt)
+                pipe = ProtoSAM(
+                    None, None, sam, params,
+                    ProtoSAMConfig(image_size=(256, 256), max_ccs=8,
+                                   use_cca=cfg["use_cca"],
+                                   use_points=cfg["use_points"],
+                                   use_bbox=cfg["use_bbox"],
+                                   use_mask=cfg["use_mask"],
+                                   use_neg_points=cfg["use_neg_points"],
+                                   point_mode=cfg["point_mode"],
+                                   num_points_for_sam=cfg["num_points_for_sam"],
+                                   mask_prompt_uint8_wrap=cfg["use_mask"]))
+                masks = []
+                for i in range(len(cfg["files"])):
+                    qry, logits = synthetic_agreement_case(i)
+                    pred, _s, _ = pipe._jit_refine(params, jnp.asarray(qry),
+                                                   jnp.asarray(logits))
+                    masks.append(np.asarray(pred.astype(jnp.float32)) > 0)
             preds[dt_name] = masks
 
         ref = [np.load(os.path.join(golden_dir, name))
