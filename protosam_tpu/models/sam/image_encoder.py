@@ -387,8 +387,33 @@ class Block(nn.Module):
                             self.dtype)
 
     def __call__(self, x: jax.Array, is_global: jax.Array):
-        x = x + self.attn(self.norm1(x), is_global)
-        x = x + self.mlp(self.norm2(x))
+        # PTPU_RESID_BARRIER=attn|mlp|both keeps the residual add OUT of
+        # the proj/fc2 matmul fusion (XLA's kOutput conv fusions — the
+        # "add_add" trace ops).  A/B knob for the vit_h fusion-efficiency
+        # forensics (r3: those fusions run at ~50% MXU at c=1280 vs peak
+        # at c=768).  MEASURED r4 on chip (vit_h encoder ms/batch-8,
+        # scoped-vmem 49152): baseline 486.4, mlp 490.0, both 496.0 —
+        # the barrier LOSES; the extra HBM round-trip of the delta costs
+        # more than the fusion inefficiency it removes.  Default stays "".
+        barrier = os.environ.get("PTPU_RESID_BARRIER", "")
+        attn_out = self.attn(self.norm1(x), is_global)
+        if barrier in ("attn", "both"):
+            attn_out = jax.lax.optimization_barrier(attn_out)
+        x = x + attn_out
+        mlp_in = self.norm2(x)
+        if os.environ.get("PTPU_MLP_2D") == "1":
+            # A/B knob: flatten (B, H, W, C) -> (B*H*W, C) around the MLP so
+            # XLA's dot path (not the 4-D conv emitter, whose
+            # EmitAllBatchInSublanes window config runs the c=1280 fc2 at
+            # ~50% MXU — see the r4 HLO forensics) lowers fc1/fc2.  The
+            # reshape is a layout-preserving bitcast at {3,2,1,0}.
+            s = mlp_in.shape
+            mlp_out = self.mlp(mlp_in.reshape(-1, s[-1])).reshape(s)
+        else:
+            mlp_out = self.mlp(mlp_in)
+        if barrier in ("mlp", "both"):
+            mlp_out = jax.lax.optimization_barrier(mlp_out)
+        x = x + mlp_out
         return x, None
 
 

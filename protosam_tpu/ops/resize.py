@@ -200,6 +200,46 @@ def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:
                       preferred_element_type=x.dtype)
 
 
+def _nearest_src_np(in_size: int, out_size: int) -> np.ndarray:
+    """Torch legacy nearest source index per output index, replicating
+    resize_nearest's arithmetic EXACTLY: jax canonicalizes the python-float
+    scale to f32 and multiplies in f32, so near-integer products can floor
+    differently than f64 math — the map must use the same f32 ops."""
+    src = np.floor(np.arange(out_size, dtype=np.float32)
+                   * np.float32(in_size / out_size)).astype(np.int64)
+    return np.clip(src, 0, in_size - 1)
+
+
+def resize_bilinear_then_nearest(x: jax.Array, mid: tuple[int, int],
+                                 size: tuple[int, int]) -> jax.Array:
+    """``resize_nearest(resize_bilinear(x, mid), size)`` without materializing
+    the ``mid``-sized intermediate.
+
+    Nearest resampling is a pure row/column selection, so the composition is
+    the bilinear weight matrix with its output rows selected at the nearest
+    source indices — the surviving output elements are the same taps with the
+    same weights.  Results match the two-step form to ~1 ulp (the backend's
+    dot FMA/reassociation strategy varies with the output width; pinned by
+    tests/test_ops_resize_pool.py).  The pipeline's decode tail upsamples
+    SAM's 256² low-res masks to the 1024² SAM frame and immediately
+    nearest-resizes to the query frame (reference ProtoSAM.py:669-678
+    semantics); composing skips the (B, K, 1024, 1024) f32 round-trip
+    through HBM.
+    """
+    if tuple(mid) == tuple(size):
+        return resize_bilinear(x, size)
+    h_in, w_in = x.shape[-2], x.shape[-1]
+    wr = jnp.asarray(_linear_weights_np(h_in, int(mid[0]))[
+        _nearest_src_np(int(mid[0]), int(size[0]))])
+    wc = jnp.asarray(_linear_weights_np(w_in, int(mid[1]))[
+        _nearest_src_np(int(mid[1]), int(size[1]))])
+    y = jnp.einsum("...hw,jw->...hj", x.astype(jnp.float32), wc,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("...hj,ih->...ij", y, wr,
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("size", "mode"))
 def resize(x: jax.Array, size: tuple[int, int], mode: str = "bilinear") -> jax.Array:
     """Dispatching convenience wrapper."""

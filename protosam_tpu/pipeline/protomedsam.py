@@ -19,7 +19,11 @@ import jax
 import jax.numpy as jnp
 
 from protosam_tpu.ops.cca import component_confidences, connected_components
-from protosam_tpu.ops.resize import resize_bilinear, resize_nearest
+from protosam_tpu.ops.resize import (
+    resize_bilinear,
+    resize_bilinear_then_nearest,
+    resize_nearest,
+)
 from protosam_tpu.pipeline.protosam import (
     ProtoSAM,
     ProtoSAMConfig,
@@ -83,13 +87,17 @@ class ProtoMedSAM(ProtoSAM):
 
         prob_mask = jax.nn.sigmoid(
             low_res[:, 0].reshape(b, k, *low_res.shape[-2:]))
-        up = resize_bilinear(prob_mask, cfg.image_size)
+        # SAM-frame bilinear + final nearest composed into one row-selected
+        # matmul pair — same taps/weights (~1 ulp), skips the
+        # (B, K, 1024, 1024) intermediate (see ProtoSAM._decode_stage)
+        up = resize_bilinear_then_nearest(prob_mask, cfg.image_size,
+                                          original_size)
         bin_masks = (up > 0.5) & valid[:, :, None, None]
         seg = jnp.any(bin_masks, axis=1).astype(jnp.float32)
 
         empty = jnp.max(pred, axis=(1, 2)) == 0
-        out = jnp.where(empty[:, None, None], pred, seg)
-        out = resize_nearest(out[:, None], original_size)[:, 0]
+        pred_out = resize_nearest(pred[:, None], original_size)[:, 0]
+        out = jnp.where(empty[:, None, None], pred_out, seg)
         scores = jnp.where(empty[:, None], 0.0,
                            iou[:, 0].reshape(b, k) * valid)
         return out, scores

@@ -44,7 +44,11 @@ from protosam_tpu.ops.cca import (
     connected_components,
 )
 from protosam_tpu.ops.prompts import build_sam_prompts
-from protosam_tpu.ops.resize import resize_bilinear, resize_nearest
+from protosam_tpu.ops.resize import (
+    resize_bilinear,
+    resize_bilinear_then_nearest,
+    resize_nearest,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -321,16 +325,23 @@ class ProtoSAM:
         # golden harness (tests/test_pipeline_golden.py) restores upstream
         # bilinear on the mounted fork for the same reason.  Crop is identity
         # at square inputs; then threshold at 0 and OR over components.
-        masks = resize_bilinear(masks_low,
-                                (self.sam_model.image_size,) * 2)
+        # The SAM-frame bilinear and the final nearest resize to the query
+        # frame (reference :676) are COMPOSED into one row-selected matmul
+        # pair — same taps/weights as the two-step form, ~1 ulp (nearest =
+        # row selection; ops/resize.resize_bilinear_then_nearest) — and it
+        # never materializes the (B, K, 1024, 1024) f32 intermediate.
+        masks = resize_bilinear_then_nearest(
+            masks_low, (self.sam_model.image_size,) * 2, original_size)
         bin_masks = (masks > 0.0) & valid[:, :, None, None]
         summed = jnp.any(bin_masks, axis=1).astype(jnp.float32)
 
         # empty coarse pred -> return the coarse argmax directly
-        # (reference :612-613), here as a device-side select
+        # (reference :612-613), here as a device-side select (the where
+        # commutes with the per-element nearest selection, so selecting
+        # AFTER the per-branch resizes is exact)
         empty = jnp.max(pred, axis=(1, 2)) == 0
-        out = jnp.where(empty[:, None, None], pred, summed)
-        out = resize_nearest(out[:, None], original_size)[:, 0]
+        pred_out = resize_nearest(pred[:, None], original_size)[:, 0]
+        out = jnp.where(empty[:, None, None], pred_out, summed)
         scores = jnp.where(empty[:, None], 0.0, scores * valid)
         return out, scores
 

@@ -80,3 +80,23 @@ def test_longest_side_size():
     assert longest_side_size(512, 389, 1024) == (1024, 778)
     assert longest_side_size(389, 512, 1024) == (778, 1024)
     assert longest_side_size(1024, 1024, 1024) == (1024, 1024)
+
+
+@pytest.mark.parametrize("in_hw,mid_hw,out_hw", [
+    ((64, 64), (256, 256), (168, 168)),   # decode-tail geometry, scaled down
+    ((16, 16), (64, 64), (64, 64)),       # mid == out: plain bilinear
+    ((9, 7), (33, 31), (13, 17)),         # ragged sizes
+])
+def test_bilinear_then_nearest_composed(rng, in_hw, mid_hw, out_hw):
+    """The composed resize selects rows of the bilinear weight matrix at the
+    nearest source indices — same taps, same weights as the two-step form.
+    Values agree to ~1 ulp (the backend's dot FMA/reassociation strategy
+    varies with output width), which is what golden-mask stability needs."""
+    from protosam_tpu.ops.resize import resize_bilinear_then_nearest
+
+    x = rng.standard_normal((2, 3, *in_hw)).astype(np.float32)
+    two_step = np.asarray(
+        resize_nearest(resize_bilinear(jnp.asarray(x), mid_hw), out_hw))
+    composed = np.asarray(
+        resize_bilinear_then_nearest(jnp.asarray(x), mid_hw, out_hw))
+    np.testing.assert_allclose(composed, two_step, atol=2e-6, rtol=1e-6)
