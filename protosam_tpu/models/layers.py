@@ -61,19 +61,54 @@ class TokenLayerNorm(nn.Module):
 
 
 class MLPBlock(nn.Module):
-    """Linear -> act -> Linear (reference common.py:13-26)."""
+    """Linear -> act -> Linear (reference common.py:13-26).
+
+    ``fuse_tpu=True`` routes the bf16 inference path through the fused
+    Pallas MLP kernel (ops/mlp_pallas: both dots + tanh GELU + residual in
+    one VMEM-resident program — built for the c=1280 SAM vit_h widths where
+    XLA's conv emitter runs these dots at ~50-65% MXU).  The param tree is
+    identical either way (lin1/lin2 Dense), so checkpoints are unaffected;
+    CPU and non-bf16 runs keep the Dense composition.
+    """
 
     mlp_dim: int
     act: Callable = nn.gelu
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, residual: jax.Array | None = None,
+                 fuse_tpu: bool = False) -> jax.Array:
         d = x.shape[-1]
-        x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
-        x = self.act(x)
-        x = nn.Dense(d, dtype=self.dtype, name="lin2")(x)
-        return x
+        lin1 = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")
+        lin2 = nn.Dense(d, dtype=self.dtype, name="lin2")
+        if fuse_tpu and self.dtype == jnp.bfloat16 and x.ndim == 2:
+            from protosam_tpu.ops.mlp_pallas import mlp_fused
+
+            # bind the Dense params without paying their compute (the
+            # zero-row call is dead code under the fused branch and XLA
+            # removes it), then hand the cast weights to the kernel
+            _ = lin2(self.act(lin1(jnp.zeros((1, d), x.dtype))))
+            p1 = lin1.variables["params"]
+            p2 = lin2.variables["params"]
+            cast = lambda a: a.astype(self.dtype)
+
+            # NOTE: the kernel hard-codes the tanh GELU — callers must only
+            # set fuse_tpu when ``act`` is the bf16 tanh approximation
+            # (models/sam/image_encoder._gelu), which is the only user.
+            def fused(x, *res):
+                return mlp_fused(x, cast(p1["kernel"]), cast(p1["bias"]),
+                                 cast(p2["kernel"]), cast(p2["bias"]),
+                                 residual=res[0] if res else None)
+
+            def unfused(x, *res):
+                y = lin2(self.act(lin1(x)))
+                return res[0] + y if res else y
+
+            ops = (x,) if residual is None else (x, residual)
+            return jax.lax.platform_dependent(
+                *ops, cpu=unfused, default=fused)
+        y = lin2(self.act(lin1(x)))
+        return y if residual is None else residual + y
 
 
 class MLP(nn.Module):

@@ -401,6 +401,17 @@ class Block(nn.Module):
             attn_out = jax.lax.optimization_barrier(attn_out)
         x = x + attn_out
         mlp_in = self.norm2(x)
+        if self._mlp_fuse_enabled():
+            # fused Pallas MLP (ops/mlp_pallas): both dots + tanh GELU +
+            # residual in one VMEM-resident kernel — the r4 answer to XLA's
+            # conv emitter running the c=1280 fc1/fc2 at ~50-65% MXU
+            # (EmitAllBatchInSublanes window configs; r4 HLO forensics).
+            # bf16 TPU inference only; CPU / f32-strict keep the Dense
+            # composition inside MLPBlock's platform_dependent.
+            s = x.shape
+            flat = lambda a: a.reshape(-1, s[-1])
+            return self.mlp(flat(mlp_in), residual=flat(x),
+                            fuse_tpu=True).reshape(s), None
         if os.environ.get("PTPU_MLP_2D") == "1":
             # A/B knob: flatten (B, H, W, C) -> (B*H*W, C) around the MLP so
             # XLA's dot path (not the 4-D conv emitter, whose
@@ -415,6 +426,15 @@ class Block(nn.Module):
             mlp_out = jax.lax.optimization_barrier(mlp_out)
         x = x + mlp_out
         return x, None
+
+    def _mlp_fuse_enabled(self) -> bool:
+        """Fused Pallas MLP policy: PTPU_MLP_PALLAS=1/0 forces it on/off;
+        the default is off pending the on-chip A/B (flip to
+        ``embed_dim >= 1280`` once it wins at vit_h)."""
+        knob = os.environ.get("PTPU_MLP_PALLAS")
+        if knob is not None:
+            return knob == "1" and self.dtype == jnp.bfloat16
+        return False
 
 
 class ImageEncoderViT(nn.Module):

@@ -1,0 +1,110 @@
+"""Fused transformer-MLP Pallas kernel: gelu(x@W1+b1)@W2 + b2 (+residual).
+
+Why this exists (r4 HLO forensics, ROUND_NOTES.md): XLA lowers the SAM ViTDet
+MLP Dense ops on (B, 64, 64, C) activations through the TPU *convolution*
+emitter; at c=1280 (SAM vit_h, reference
+models/segment_anything/build_sam.py:14-26) the chosen window config
+("EmitAllBatchInSublanes", K-window 128, N-window 10) runs fc1 at ~65% and
+fc2 at ~50% of the bf16 MXU peak — 3.9 ms/layer-batch8 where the flop floor
+is 2.2.  The fused kernel instead:
+
+* streams M-tiles of the (M, C) activation through VMEM while both weight
+  matrices stay resident across the whole grid (constant index_map — at
+  c=1280 W1+W2 are 25 MB of bf16, well under the 128 MB VMEM),
+* runs both dots as plain MXU matmuls with f32 accumulation,
+* applies the tanh GELU between them in f32 registers (the production bf16
+  path's activation, models/sam/image_encoder._gelu),
+* folds the residual add into the epilogue, so the only HBM traffic is
+  x / residual in and out once (the XLA path round-trips the (M, 4C)
+  hidden activation through HBM between the two conv fusions).
+
+Inference-only: no custom VJP (the SAM encoder's attention kernels set the
+same constraint; training paths keep the unfused Dense composition).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, res_ref, out_ref):
+    h = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[:].astype(jnp.float32)
+    g = jax.nn.gelu(h, approximate=True)
+    y = jnp.dot(g.astype(x_ref.dtype), w2_ref[:],
+                preferred_element_type=jnp.float32)
+    y = y + b2_ref[:].astype(jnp.float32)
+    if res_ref is not None:
+        y = y + res_ref[:].astype(jnp.float32)
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def _pick_block_m(m: int, target: int = 512) -> int:
+    """Largest divisor of m that is <= target and a multiple of 8 (sublane
+    tile) — M here is B*H*W of a ViT grid, so 8 | m always holds in
+    practice; fall back to m itself for odd sizes."""
+    for bm in range(min(target, m), 7, -1):
+        if m % bm == 0 and bm % 8 == 0:
+            return bm
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mlp_fused(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
+              b2: jax.Array, residual: jax.Array | None = None,
+              interpret: bool = False) -> jax.Array:
+    """``gelu_tanh(x @ w1 + b1) @ w2 + b2 (+ residual)`` on the MXU.
+
+    x: (M, C); w1: (C, H); b1: (H,); w2: (H, C); b2: (C,);
+    residual: (M, C) or None.  Returns (M, C) in x.dtype.
+    """
+    m, c = x.shape
+    hdim = w1.shape[1]
+    bm = _pick_block_m(m)
+    grid = (m // bm,)
+    b1r = b1.reshape(1, hdim)
+    b2r = b2.reshape(1, c)
+
+    row = lambda i: (i, 0)
+    const = lambda i: (0, 0)
+    in_specs = [
+        pl.BlockSpec((bm, c), row),
+        pl.BlockSpec((c, hdim), const),
+        pl.BlockSpec((1, hdim), const),
+        pl.BlockSpec((hdim, c), const),
+        pl.BlockSpec((1, c), const),
+    ]
+    args = [x, w1, b1r, w2, b2r]
+    kernel = _kernel
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((bm, c), row))
+        args.append(residual)
+    else:
+        kernel = functools.partial(
+            lambda xr, w1r, b1r_, w2r, b2r_, or_: _kernel(
+                xr, w1r, b1r_, w2r, b2r_, None, or_))
+
+    bytes_w = 2 * (c * hdim + hdim * c)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, c), row),
+        out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * (c * hdim + hdim * c),
+            bytes_accessed=bytes_w + 2 * m * c * (3 if residual is not None
+                                                  else 2),
+            transcendentals=m * hdim,
+        ),
+        interpret=interpret,
+    )(*args)
