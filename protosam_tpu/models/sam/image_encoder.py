@@ -148,7 +148,8 @@ class Attention(nn.Module):
     global_backend: str = "packed"  # "packed" | "flash" (heads-first aug)
 
     @nn.compact
-    def __call__(self, x: jax.Array, is_global=None) -> jax.Array:
+    def __call__(self, x: jax.Array, is_global=None,
+                 residual: jax.Array | None = None) -> jax.Array:
         b, h, w, c = x.shape
         nh = self.num_heads
         head_dim = c // nh
@@ -350,7 +351,29 @@ class Attention(nn.Module):
             out = global_attn(qkv)
         else:
             out = jax.lax.cond(is_global, global_attn, window_attn, qkv)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        proj = nn.Dense(c, dtype=self.dtype, name="proj")
+        if residual is None:
+            return proj(out)
+        if self.dtype == jnp.bfloat16:
+            # fused proj + residual (ops/mlp_pallas.dense_residual): same
+            # conv-emitter pathology as the MLP at c=1280 — see Block
+            from protosam_tpu.ops.mlp_pallas import dense_residual
+
+            _ = proj(jnp.zeros((1, c), out.dtype))
+            p = proj.variables["params"]
+
+            def fused(o2, r2):
+                return dense_residual(o2, p["kernel"].astype(self.dtype),
+                                      p["bias"].astype(self.dtype), r2)
+
+            def unfused(o2, r2):
+                return r2 + proj(o2.reshape(b, h, w, c)).reshape(o2.shape)
+
+            flat = lambda a: a.reshape(-1, c)
+            return jax.lax.platform_dependent(
+                flat(out), flat(residual), cpu=unfused,
+                default=fused).reshape(b, h, w, c)
+        return residual + proj(out)
 
 
 class Block(nn.Module):
@@ -396,10 +419,15 @@ class Block(nn.Module):
         # the barrier LOSES; the extra HBM round-trip of the delta costs
         # more than the fusion inefficiency it removes.  Default stays "".
         barrier = os.environ.get("PTPU_RESID_BARRIER", "")
-        attn_out = self.attn(self.norm1(x), is_global)
-        if barrier in ("attn", "both"):
-            attn_out = jax.lax.optimization_barrier(attn_out)
-        x = x + attn_out
+        if (os.environ.get("PTPU_PROJ_PALLAS") == "1"
+                and self.dtype == jnp.bfloat16):
+            # fused proj+residual kernel (A/B; see Attention proj epilogue)
+            x = self.attn(self.norm1(x), is_global, residual=x)
+        else:
+            attn_out = self.attn(self.norm1(x), is_global)
+            if barrier in ("attn", "both"):
+                attn_out = jax.lax.optimization_barrier(attn_out)
+            x = x + attn_out
         mlp_in = self.norm2(x)
         if self._mlp_fuse_enabled():
             # fused Pallas MLP (ops/mlp_pallas): both dots + tanh GELU +

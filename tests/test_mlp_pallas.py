@@ -63,3 +63,39 @@ def test_mlp_block_fuse_flag_param_tree_and_cpu_fallback(rng):
     np.testing.assert_allclose(np.asarray(plain, np.float32),
                                np.asarray(fused, np.float32),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_dense_residual_interpret_matches_reference(rng):
+    from protosam_tpu.ops.mlp_pallas import dense_residual
+
+    m, c, n = 128, 64, 64
+    x = jnp.asarray(rng.standard_normal((m, c)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((c, n)) * 0.05, jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((n,)) * 0.1, jnp.bfloat16)
+    res = jnp.asarray(rng.standard_normal((m, n)), jnp.bfloat16)
+    got = dense_residual(x, w, b, res, interpret=True)
+    want = (jnp.dot(x, w, preferred_element_type=jnp.float32)
+            + b.astype(jnp.float32) + res.astype(jnp.float32)
+            ).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=3e-2, rtol=3e-2)
+
+
+@pytest.mark.slow
+def test_block_proj_pallas_knob_cpu_fallback(rng, monkeypatch):
+    """PTPU_PROJ_PALLAS=1 routes the attn residual through Attention; on CPU
+    the platform_dependent fallback must reproduce the default composition."""
+    from protosam_tpu.models.sam.image_encoder import Block
+
+    monkeypatch.delenv("PTPU_PROJ_PALLAS", raising=False)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 32)), jnp.bfloat16)
+    blk = Block(num_heads=4, use_rel_pos=True, window_size=4, grid_size=8,
+                embed_dim=32, dtype=jnp.bfloat16)
+    p = blk.init(jax.random.PRNGKey(0), x, jnp.asarray(True))
+    base, _ = blk.apply(p, x, jnp.asarray(True))
+    monkeypatch.setenv("PTPU_PROJ_PALLAS", "1")
+    fused, _ = blk.apply(p, x, jnp.asarray(True))
+    np.testing.assert_allclose(np.asarray(fused, np.float32),
+                               np.asarray(base, np.float32),
+                               atol=1e-6, rtol=1e-6)
