@@ -32,15 +32,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, res_ref, out_ref):
-    h = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
-    h = h + b1_ref[:].astype(jnp.float32)
-    g = jax.nn.gelu(h, approximate=True)
-    y = jnp.dot(g.astype(x_ref.dtype), w2_ref[:],
-                preferred_element_type=jnp.float32)
-    y = y + b2_ref[:].astype(jnp.float32)
+def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, res_ref, out_ref,
+            h_chunks: int = 1):
+    """``h_chunks`` splits the hidden dim: chunk j+1's fc1 dot is independent
+    of chunk j's GELU, so the unrolled chunks let Mosaic overlap the VPU
+    tanh (which is comparable to the MXU time at the vit_h widths — the
+    unchunked kernel serialized dot1 -> gelu -> dot2 and measured 5.0
+    ms/layer vs the 2.2 flop floor) with the next chunk's matmul, and cap
+    the live f32 hidden intermediate at (block_m, H/h_chunks)."""
+    x = x_ref[:]
+    y = b2_ref[:].astype(jnp.float32)
     if res_ref is not None:
         y = y + res_ref[:].astype(jnp.float32)
+    hdim = w1_ref.shape[1]
+    hc = hdim // h_chunks
+    for j in range(h_chunks):
+        sl = slice(j * hc, (j + 1) * hc)
+        h = jnp.dot(x, w1_ref[:, sl], preferred_element_type=jnp.float32)
+        h = h + b1_ref[:, sl].astype(jnp.float32)
+        g = jax.nn.gelu(h, approximate=True)
+        y = y + jnp.dot(g.astype(x.dtype), w2_ref[sl, :],
+                        preferred_element_type=jnp.float32)
     out_ref[:] = y.astype(out_ref.dtype)
 
 
@@ -97,19 +109,24 @@ def dense_residual(x: jax.Array, w: jax.Array, b: jax.Array,
     )(x, w, b.reshape(1, n), residual)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_m"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "block_m", "h_chunks"))
 def mlp_fused(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
               b2: jax.Array, residual: jax.Array | None = None,
-              interpret: bool = False, block_m: int = 0) -> jax.Array:
+              interpret: bool = False, block_m: int = 0,
+              h_chunks: int = 4) -> jax.Array:
     """``gelu_tanh(x @ w1 + b1) @ w2 + b2 (+ residual)`` on the MXU.
 
     x: (M, C); w1: (C, H); b1: (H,); w2: (H, C); b2: (C,);
     residual: (M, C) or None.  Returns (M, C) in x.dtype.
-    ``block_m``: M-tile rows per grid step (0 = auto).
+    ``block_m``: M-tile rows per grid step (0 = auto); ``h_chunks``:
+    hidden-dim split for MXU/VPU overlap (see _kernel).
     """
     m, c = x.shape
     hdim = w1.shape[1]
     bm = block_m or _pick_block_m(m)
+    while hdim % h_chunks:
+        h_chunks -= 1
     grid = (m // bm,)
     b1r = b1.reshape(1, hdim)
     b2r = b2.reshape(1, c)
@@ -124,14 +141,14 @@ def mlp_fused(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
         pl.BlockSpec((1, c), const),
     ]
     args = [x, w1, b1r, w2, b2r]
-    kernel = _kernel
     if residual is not None:
         in_specs.append(pl.BlockSpec((bm, c), row))
         args.append(residual)
+        kernel = functools.partial(_kernel, h_chunks=h_chunks)
     else:
         kernel = functools.partial(
             lambda xr, w1r, b1r_, w2r, b2r_, or_: _kernel(
-                xr, w1r, b1r_, w2r, b2r_, None, or_))
+                xr, w1r, b1r_, w2r, b2r_, None, or_, h_chunks=h_chunks))
 
     bytes_w = 2 * (c * hdim + hdim * c)
     return pl.pallas_call(

@@ -55,15 +55,17 @@ def main():
     ms, comp = timed(xla_mlp, x, w1, b1, w2, b2, res)
     print(f"xla 2d dense composition: {ms:.2f} ms (compile {comp:.0f}s)",
           flush=True)
-    for bm in (256, 512, 1024, 2048, 4096):
-        fn = lambda x_, *a: mlp_fused(x_, *a, block_m=bm)
+    for bm, hc in ((512, 1), (512, 4), (1024, 4), (2048, 4), (1024, 8),
+                   (2048, 8), (4096, 8)):
+        fn = (lambda bm_, hc_: lambda x_, *a: mlp_fused(
+            x_, *a, block_m=bm_, h_chunks=hc_))(bm, hc)
         try:
             ms, comp = timed(fn, x, w1, b1, w2, b2, res)
-            print(f"mlp_fused block_m={bm}: {ms:.2f} ms (compile {comp:.0f}s)",
-                  flush=True)
+            print(f"mlp_fused block_m={bm} h_chunks={hc}: {ms:.2f} ms "
+                  f"(compile {comp:.0f}s)", flush=True)
         except Exception as e:
-            print(f"mlp_fused block_m={bm}: FAILED {str(e)[-160:]}",
-                  flush=True)
+            print(f"mlp_fused block_m={bm} h_chunks={hc}: "
+                  f"FAILED {str(e)[-160:]}", flush=True)
 
 
 if __name__ == "__main__":
