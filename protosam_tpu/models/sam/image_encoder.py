@@ -456,9 +456,12 @@ class Block(nn.Module):
         return x, None
 
     def _mlp_fuse_enabled(self) -> bool:
-        """Fused Pallas MLP policy: PTPU_MLP_PALLAS=1/0 forces it on/off;
-        the default is off pending the on-chip A/B (flip to
-        ``embed_dim >= 1280`` once it wins at vit_h)."""
+        """Fused Pallas MLP policy: PTPU_MLP_PALLAS=1/0 forces it on/off.
+
+        Default stays OFF — MEASURED a loss on chip at the vit_h geometry
+        (r4 marginal-cost A/B, ROUND_NOTES): kernel 5.0 ms/layer-batch8 vs
+        XLA's own emitter at 4.6-4.8 regardless of lowering route (2-D,
+        3-D, 4-D all equal).  The kernel stays for A/B reproducibility."""
         knob = os.environ.get("PTPU_MLP_PALLAS")
         if knob is not None:
             return knob == "1" and self.dtype == jnp.bfloat16

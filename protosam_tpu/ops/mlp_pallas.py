@@ -20,6 +20,17 @@ is 2.2.  The fused kernel instead:
 
 Inference-only: no custom VJP (the SAM encoder's attention kernels set the
 same constraint; training paths keep the unfused Dense composition).
+
+OUTCOME (r4 on-chip marginal-cost A/B at M=32768, C=1280, H=5120 —
+ROUND_NOTES): the kernel MEASURED A LOSS.  Best config (block_m=2048-4096,
+h_chunks=8) = 5.0 ms/layer-batch8 marginal vs XLA at 4.6-4.8 for EVERY
+lowering route tried (2-D dot, (8,4096)/(32,1024) batched 3-D, and the 4-D
+conv-emitter form are all within noise of each other) — i.e. the r3 "conv
+emitter at 50% MXU" per-op trace attribution does not translate into
+harvestable wall-clock: the whole MLP stage costs ~4.6 ms/layer no matter
+how the dots are routed, and the Pallas form pays ~0.4 ms extra.  The
+default stays OFF (image_encoder.Block._mlp_fuse_enabled);
+``PTPU_MLP_PALLAS=1`` keeps the experiment reproducible.
 """
 
 from __future__ import annotations
