@@ -103,8 +103,10 @@ def main():
     # 500 s of continuous in-process waiting (r4 measured successes at 141 s
     # and 501 s; every observed 420 s-timeout retry loop failed, suggesting
     # killing the probe subprocess resets claim progress).  A longer single
-    # wait beats many short retries.
-    probe_timeout = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "900"))
+    # wait beats many short retries.  Late-r4 data point: a wedge left by a
+    # killed in-flight compile took 1074 s of continuous waiting — just past
+    # the old 900 s window — hence 1200.
+    probe_timeout = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "1200"))
     attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))
     if not _probe_device(attempts, probe_timeout):
         _emit_fallback("device_wedged")
