@@ -10,9 +10,14 @@ reports the marginal cost per added rep:
 
     marginal = (t(reps_hi) - t(reps_lo)) / (reps_hi - reps_lo)
 
-Dispatch overhead and its jitter cancel exactly; what remains is the true
-per-iteration device time.  Inputs are rotated per iteration (jnp.roll)
-so the terminal's identical-execution cache never hits.
+Dispatch overhead and its jitter cancel exactly; what remains is the
+per-iteration device time of ``fn`` PLUS the harness's own per-iteration
+work — the jnp.roll of the first operand (a full copy) and an f32
+reduction of every output.  ``marginal_ms`` measures that roll+reduce
+overhead with an identity ``fn`` on the same operands and subtracts it,
+so the returned figure is the op alone (``subtract_overhead=False``
+reverts to the raw marginal).  A/B comparisons are valid either way —
+both arms share the overhead.
 
 Usage (library):
     from tools.marginal_bench import marginal_ms
@@ -45,18 +50,27 @@ def _total_s(fn, reps: int, args, n_best: int = 5) -> float:
     float(prog(*args))  # compile + warm
     best = float("inf")
     for _ in range(n_best):
-        t0 = time.time()
-        float(prog(*args))
-        best = min(best, time.time() - t0)
+        t0 = time.perf_counter()  # monotonic; time.time() NTP slews can
+        float(prog(*args))        # perturb ~100 ms best-of-n minima
+        best = min(best, time.perf_counter() - t0)
     return best
 
 
-def marginal_ms(fn, *args, reps_lo: int = 8, reps_hi: int = 32,
-                n_best: int = 5) -> float:
-    """True per-call device ms of ``fn(*args)`` with dispatch cancelled."""
+def _raw_marginal_ms(fn, args, reps_lo, reps_hi, n_best) -> float:
     t_lo = _total_s(fn, reps_lo, args, n_best)
     t_hi = _total_s(fn, reps_hi, args, n_best)
     return (t_hi - t_lo) / (reps_hi - reps_lo) * 1e3
+
+
+def marginal_ms(fn, *args, reps_lo: int = 8, reps_hi: int = 32,
+                n_best: int = 5, subtract_overhead: bool = True) -> float:
+    """Per-call device ms of ``fn(*args)`` with dispatch cancelled and the
+    harness's roll+reduce overhead measured (identity fn) and subtracted."""
+    ms = _raw_marginal_ms(fn, args, reps_lo, reps_hi, n_best)
+    if subtract_overhead:
+        ms -= _raw_marginal_ms(lambda *a: a[0], args, reps_lo, reps_hi,
+                               n_best)
+    return max(ms, 0.0)
 
 
 if __name__ == "__main__":

@@ -91,7 +91,9 @@ DEMONSTRATED_MS_B8_VITH = {
 
 def demonstrated_ceiling(table=None) -> float:
     """slices/sec/chip if every stage ran at its best demonstrated cost."""
-    return 8.0 / sum((table or DEMONSTRATED_MS_B8).values()) * 1e3
+    if table is None:  # `or` would silently remap an explicit empty dict
+        table = DEMONSTRATED_MS_B8
+    return 8.0 / sum(table.values()) * 1e3
 
 
 def _pad128(n: int) -> int:
