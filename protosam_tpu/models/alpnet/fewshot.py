@@ -104,21 +104,34 @@ class FewShotSeg(nn.Module):
 
         qry_fts (1, C, h, w); supp_fts (S, C, h, w); masks (S, h, w) at
         feature resolution.  Returns (1, 2, h, w) raw scores.
+
+        Runs in f32 at true-f32 matmul precision regardless of the build
+        dtype (the f32 coarse-logit tail, r5): the cosine match here is
+        <1% of pipeline FLOPs, but its argmax seeds CCA and every SAM
+        prompt — bf16 normalization/dot rounding moved mask boundaries
+        (PARITY.md "Measured bf16 drift").  Without the precision scope,
+        TPU executes "f32" dots as single-pass bf16.  Reference numerics
+        being matched: alpmodule.py:57-94, grid_proto_fewshot.py:270-273.
         """
+        qry_fts = qry_fts.astype(jnp.float32)
+        supp_fts = supp_fts.astype(jnp.float32)
         fg = fore_mask[:, None].astype(jnp.float32)
         bg = back_mask[:, None].astype(jnp.float32)
 
-        bg_score = alp_score(qry_fts, supp_fts, bg, "gridconv", val_wsize,
-                             BG_THRESH, use_fused=self.use_fused_alp)
+        with jax.default_matmul_precision("highest"):
+            bg_score = alp_score(qry_fts, supp_fts, bg, "gridconv",
+                                 val_wsize, BG_THRESH,
+                                 use_fused=self.use_fused_alp)
 
-        def fg_one(supp_ft, msk):
-            return fg_score_with_fallback(
-                qry_fts, supp_ft[None], msk[None, None],
-                window=val_wsize, fallback_window=self.kernel_size,
-                thresh=FG_THRESH, use_fused=self.use_fused_alp)
+            def fg_one(supp_ft, msk):
+                return fg_score_with_fallback(
+                    qry_fts, supp_ft[None], msk[None, None],
+                    window=val_wsize, fallback_window=self.kernel_size,
+                    thresh=FG_THRESH, use_fused=self.use_fused_alp)
 
-        fg_scores = jax.vmap(fg_one)(supp_fts, fore_mask.astype(jnp.float32))
-        fg_score = jnp.max(fg_scores, axis=0)  # max over shots (:262-264)
+            fg_scores = jax.vmap(fg_one)(supp_fts,
+                                         fore_mask.astype(jnp.float32))
+            fg_score = jnp.max(fg_scores, axis=0)  # max over shots (:262-264)
 
         return jnp.concatenate([bg_score, fg_score], axis=1)
 
@@ -147,7 +160,11 @@ class FewShotSeg(nn.Module):
         res_bg = resize_nearest(back_mask.astype(jnp.float32), hw)
 
         pred = self.score(qry_fts, supp_fts, res_fg, res_bg, window)
-        logits = resize_bilinear(pred, img_hw)
+        # logit upsample stays in the f32 tail: the resize is a pair of
+        # weight-matrix einsums whose default TPU precision is single-pass
+        # bf16 — enough to move the downstream argmax at mask boundaries
+        with jax.default_matmul_precision("highest"):
+            logits = resize_bilinear(pred, img_hw)
         return {"logits": logits, "supp_fts": supp_fts, "qry_fts": qry_fts}
 
     def align_loss(self, qry_fts: jax.Array, pred: jax.Array,

@@ -195,7 +195,12 @@ class DinoVisionTransformer(nn.Module):
 
         if n_pad:
             x = x[:, :n_tokens]
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        # The final norm computes in f32 even under a bf16 build: its output
+        # feeds the ALP cosine match whose argmax seeds CCA and every SAM
+        # prompt (reference grid_proto_fewshot.py:270-273), and it is ~0.01%
+        # of encoder FLOPs — the f32 coarse-logit tail (PARITY.md, r5)
+        # starts here.  f32 builds are unchanged (dtype was f32 already).
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
         r = self.num_register_tokens
         return {
             "x_norm_clstoken": x[:, 0],

@@ -46,9 +46,11 @@ class ProtoMedSAM(ProtoSAM):
         cfg = self.config
 
         qimg = resize_bilinear(qry, cfg.image_size)
-        # f32 logit upsample + softmax + argmax (see protosam._extract_prompts)
-        logits_hi = resize_bilinear(logits.astype(jnp.float32),
-                                    cfg.image_size)
+        # f32 logit upsample + softmax + argmax at true-f32 matmul precision
+        # (see protosam._extract_prompts)
+        with jax.default_matmul_precision("highest"):
+            logits_hi = resize_bilinear(logits.astype(jnp.float32),
+                                        cfg.image_size)
         probs = jax.nn.softmax(logits_hi, axis=1)  # need_softmax -> softmax
         pred = jnp.argmax(probs, axis=1)[0].astype(jnp.float32)
 

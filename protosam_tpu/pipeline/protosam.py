@@ -215,13 +215,16 @@ class ProtoSAM:
         cfg = self.config
 
         # resize query + logits into the SAM frame (reference :592-594).
-        # The logit upsample + softmax + argmax run in f32 regardless of the
-        # model dtype: the argmax threshold is what seeds CCA and every
-        # prompt, so bf16 interpolation rounding here moves mask boundaries
-        # for free (the cast costs nothing — 2 channels).
+        # The logit upsample + softmax + argmax run in f32 at true-f32
+        # matmul precision regardless of the model dtype: the argmax
+        # threshold is what seeds CCA and every prompt, so bf16
+        # interpolation rounding here moves mask boundaries for free (the
+        # resize einsums at DEFAULT precision multiply as single-pass bf16
+        # even on f32 operands; 2 channels — the scope costs nothing).
         qimg = resize_bilinear(qry, cfg.image_size)
-        logits_hi = resize_bilinear(logits.astype(jnp.float32),
-                                    cfg.image_size)
+        with jax.default_matmul_precision("highest"):
+            logits_hi = resize_bilinear(logits.astype(jnp.float32),
+                                        cfg.image_size)
         probs = jax.nn.softmax(logits_hi, axis=1)
         pred = jnp.argmax(probs, axis=1)[0].astype(jnp.float32)
 
