@@ -51,6 +51,9 @@ class FewShotSeg(nn.Module):
     # route ALP matching through the fused Pallas kernel (inference only —
     # the kernel has no VJP; training keeps the jnp path)
     use_fused_alp: bool = False
+    # int8 MXU path for the DINOv2 dense stages (ops/quant; the f32
+    # coarse-logit tail is never quantized)
+    quant_dense: bool = False
 
     @property
     def feature_hw(self) -> int:
@@ -70,7 +73,8 @@ class FewShotSeg(nn.Module):
         if key == "dlfcn_res101":
             self.encoder = DeeplabRes101Encoder(dtype=self.dtype)
         else:
-            self.encoder = build_dinov2(key, dtype=self.dtype)
+            self.encoder = build_dinov2(key, dtype=self.dtype,
+                                        quant_dense=self.quant_dense)
 
     def get_features(self, imgs: jax.Array) -> jax.Array:
         """imgs: (B, 3, H, W) -> features (B, C, h, w).

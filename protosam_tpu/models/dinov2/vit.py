@@ -47,15 +47,19 @@ class Attention(nn.Module):
     # tokens beyond this index are sequence padding added once by the
     # transformer (see DinoVisionTransformer); None = no padding
     valid_tokens: int | None = None
+    # int8 MXU path for qkv/proj (ops/quant; measured-drift-gated opt-in)
+    quant_dense: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         from protosam_tpu.ops.attention import masked_flash_attention_packed
+        from protosam_tpu.ops.quant import dense_cls
 
+        Dense = dense_cls(self.quant_dense)
         b, n, c = x.shape
         hd = c // self.num_heads
         scale = hd ** -0.5
-        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)  # (B, N, 3C)
+        qkv = Dense(3 * c, dtype=self.dtype, name="qkv")(x)  # (B, N, 3C)
 
         def packed_path(qkv):
             # TPU: the raw (B, S, 3C) projection feeds the kernel directly —
@@ -77,7 +81,7 @@ class Attention(nn.Module):
 
         out = jax.lax.platform_dependent(qkv, cpu=einsum_path,
                                          default=packed_path)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        return Dense(c, dtype=self.dtype, name="proj")(out)
 
 
 class LayerScale(nn.Module):
@@ -95,19 +99,24 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
     valid_tokens: int | None = None
+    quant_dense: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array):
+        from protosam_tpu.ops.quant import dense_cls
+
+        Dense = dense_cls(self.quant_dense)
         c = x.shape[-1]
         y = TokenLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = Attention(self.num_heads, self.dtype,
-                      valid_tokens=self.valid_tokens, name="attn")(y)
+                      valid_tokens=self.valid_tokens,
+                      quant_dense=self.quant_dense, name="attn")(y)
         x = x + LayerScale(self.dtype, name="ls1")(y)
         y = TokenLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
-                     name="mlp_fc1")(y)
+        y = Dense(int(c * self.mlp_ratio), dtype=self.dtype,
+                  name="mlp_fc1")(y)
         y = _gelu(y)
-        y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
+        y = Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
         return x + LayerScale(self.dtype, name="ls2")(y), None
 
 
@@ -131,6 +140,8 @@ class DinoVisionTransformer(nn.Module):
     # when fine-tuning the big encoders; reference uses torch grad
     # checkpointing for the same purpose, image_encoder.py:113-118)
     remat: bool = False
+    # int8 MXU path for the block dense stages (ops/quant)
+    quant_dense: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
@@ -191,6 +202,7 @@ class DinoVisionTransformer(nn.Module):
         )
         x, _ = ScannedBlocks(self.num_heads, self.mlp_ratio, self.dtype,
                              valid_tokens=n_tokens if n_pad else None,
+                             quant_dense=self.quant_dense,
                              name="blocks")(x)
 
         if n_pad:
@@ -256,8 +268,10 @@ _DINO_CONFIGS: dict[str, dict[str, Any]] = {
 }
 
 
-def build_dinov2(name: str, dtype=jnp.float32) -> DinoVisionTransformer:
+def build_dinov2(name: str, dtype=jnp.float32,
+                 quant_dense: bool = False) -> DinoVisionTransformer:
     if name not in _DINO_CONFIGS:
         raise KeyError(f"unknown DINOv2 variant {name!r}; "
                        f"have {sorted(_DINO_CONFIGS)}")
-    return DinoVisionTransformer(dtype=dtype, **_DINO_CONFIGS[name])
+    return DinoVisionTransformer(dtype=dtype, quant_dense=quant_dense,
+                                 **_DINO_CONFIGS[name])

@@ -74,14 +74,20 @@ class MLPBlock(nn.Module):
     mlp_dim: int
     act: Callable = nn.gelu
     dtype: jnp.dtype = jnp.float32
+    # int8 MXU path for lin1/lin2 (ops/quant; same param tree)
+    quant_dense: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, residual: jax.Array | None = None,
                  fuse_tpu: bool = False) -> jax.Array:
+        from protosam_tpu.ops.quant import dense_cls
+
+        Dense = dense_cls(self.quant_dense)
         d = x.shape[-1]
-        lin1 = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")
-        lin2 = nn.Dense(d, dtype=self.dtype, name="lin2")
-        if fuse_tpu and self.dtype == jnp.bfloat16 and x.ndim == 2:
+        lin1 = Dense(self.mlp_dim, dtype=self.dtype, name="lin1")
+        lin2 = Dense(d, dtype=self.dtype, name="lin2")
+        if (fuse_tpu and self.dtype == jnp.bfloat16 and x.ndim == 2
+                and not self.quant_dense):
             from protosam_tpu.ops.mlp_pallas import mlp_fused
 
             # bind the Dense params without paying their compute (the

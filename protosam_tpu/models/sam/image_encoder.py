@@ -146,17 +146,22 @@ class Attention(nn.Module):
     window_wcp: int = 0  # window-cols per program; 0 = auto (full row)
     window_size: int = 14
     global_backend: str = "packed"  # "packed" | "flash" (heads-first aug)
+    # int8 MXU path for qkv/proj (ops/quant; drift-gated opt-in)
+    quant_dense: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, is_global=None,
                  residual: jax.Array | None = None) -> jax.Array:
+        from protosam_tpu.ops.quant import dense_cls
+
+        Dense = dense_cls(self.quant_dense)
         b, h, w, c = x.shape
         nh = self.num_heads
         head_dim = c // nh
         scale = head_dim ** -0.5
         win = self.window_size
 
-        qkv_dense = nn.Dense(3 * c, dtype=self.dtype, name="qkv")
+        qkv_dense = Dense(3 * c, dtype=self.dtype, name="qkv")
         qkv = qkv_dense(x)                           # (B, H, W, 3C)
         qkv_bias = qkv_dense.variables["params"]["bias"].astype(self.dtype)
 
@@ -351,10 +356,10 @@ class Attention(nn.Module):
             out = global_attn(qkv)
         else:
             out = jax.lax.cond(is_global, global_attn, window_attn, qkv)
-        proj = nn.Dense(c, dtype=self.dtype, name="proj")
+        proj = Dense(c, dtype=self.dtype, name="proj")
         if residual is None:
             return proj(out)
-        if self.dtype == jnp.bfloat16:
+        if self.dtype == jnp.bfloat16 and not self.quant_dense:
             # fused proj + residual (ops/mlp_pallas.dense_residual): same
             # conv-emitter pathology as the MLP at c=1280 — see Block
             from protosam_tpu.ops.mlp_pallas import dense_residual
@@ -394,6 +399,7 @@ class Block(nn.Module):
     window_wpp: int = 1
     window_wcp: int = 0
     global_backend: str = "packed"
+    quant_dense: bool = False
 
     def setup(self):
         self.norm1 = TokenLayerNorm(epsilon=1e-6, dtype=self.dtype)
@@ -404,10 +410,11 @@ class Block(nn.Module):
                               window_wpp=self.window_wpp,
                               window_wcp=self.window_wcp,
                               window_size=self.window_size,
-                              global_backend=self.global_backend)
+                              global_backend=self.global_backend,
+                              quant_dense=self.quant_dense)
         self.norm2 = TokenLayerNorm(epsilon=1e-6, dtype=self.dtype)
         self.mlp = MLPBlock(int(self.embed_dim * self.mlp_ratio), _gelu,
-                            self.dtype)
+                            self.dtype, quant_dense=self.quant_dense)
 
     def __call__(self, x: jax.Array, is_global: jax.Array):
         # PTPU_RESID_BARRIER=attn|mlp|both keeps the residual add OUT of
@@ -494,6 +501,9 @@ class ImageEncoderViT(nn.Module):
     window_wpp: int = 1
     window_wcp: int = 0
     global_backend: str = "packed"
+    # int8 MXU path for the block dense stages (qkv/proj/lin1/lin2);
+    # patch embed, neck, and attention kernels stay in `dtype`
+    quant_dense: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -530,6 +540,7 @@ class ImageEncoderViT(nn.Module):
             window_wpp=self.window_wpp,
             window_wcp=self.window_wcp,
             global_backend=self.global_backend,
+            quant_dense=self.quant_dense,
             name="blocks",
         )(x, is_global)
 

@@ -51,6 +51,10 @@ class Sam(nn.Module):
     window_wpp: int = 1
     window_wcp: int = 0  # 0 = auto
     global_backend: str = "packed"  # "packed" | "flash"
+    # int8 MXU path for the encoder's dense stages (ops/quant) — the v5e
+    # runs int8 dots at ~2x the bf16 peak; opt-in, gated on measured mask
+    # drift (PARITY.md).  The decode tail is never quantized.
+    quant_dense: bool = False
 
     def setup(self):
         grid = self.image_size // self.vit_patch_size
@@ -70,6 +74,7 @@ class Sam(nn.Module):
             window_wpp=self.window_wpp,
             window_wcp=self.window_wcp,
             global_backend=self.global_backend,
+            quant_dense=self.quant_dense,
         )
         dec_dt = (self.dtype if self.decoder_dtype is None
                   else self.decoder_dtype)

@@ -12,7 +12,6 @@ TPU-native option gated on measured mask drift).
 """
 
 import sys
-import time
 
 sys.path.insert(0, __import__("os").path.dirname(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
@@ -22,22 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench(fn, args, reps=8, inner=4):
-    @jax.jit
-    def prog(*a):
-        def body(i, acc):
-            r = fn(*[jnp.roll(x, i, axis=0) if x.ndim > 1 else x
-                     for x in a])
-            return acc + r.astype(jnp.float32).sum()
-        return jax.lax.fori_loop(0, inner, body, jnp.float32(0))
+def bench(fn, args):
+    # marginal-cost harness (r4): the old fixed-offset form produced a
+    # negative time on a cheap op; reps-8-vs-32 cancels dispatch exactly
+    from tools.marginal_bench import marginal_ms
 
-    float(prog(*args))  # compile
-    best = 1e9
-    for _ in range(reps):
-        t0 = time.time()
-        float(prog(*args))
-        best = min(best, time.time() - t0)
-    return (best - 0.004) / inner * 1000
+    return marginal_ms(fn, *args)
 
 
 def main():
