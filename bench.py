@@ -168,11 +168,16 @@ def _measure(sam_ver: str, emit_status_cb=None) -> dict:
     # PARITY.md) so "fast" and "verified" both carry throughput numbers
     dtype = (jnp.float32 if smoke or os.environ.get("BENCH_DTYPE") == "f32"
              else jnp.bfloat16)
+    # BENCH_INT8=1: W8A8 dense stages in both encoders (ops/quant) — the
+    # int8 MXU path past the bf16 flop ceiling; drift measured separately
+    # (tools/measure_bf16_drift.py DRIFT_INT8=1)
+    quant = (os.environ.get("BENCH_INT8") == "1"
+             and dtype == jnp.bfloat16)
 
     coarse = FewShotSeg(image_size=image_size, which_model=coarse_name,
-                        dtype=dtype)
+                        dtype=dtype, quant_dense=quant)
     sam = build_sam(sam_ver, dtype=dtype,
-                    image_size=256 if smoke else 1024)
+                    image_size=256 if smoke else 1024, quant_dense=quant)
 
     rng = jax.random.PRNGKey(0)
     supp = jax.random.normal(rng, (1, 3, image_size, image_size), jnp.float32)
@@ -358,6 +363,7 @@ def _measure(sam_ver: str, emit_status_cb=None) -> dict:
                   f"{' medsam' if os.environ.get('BENCH_PIPE') == 'medsam' else ''}, "
                   f"{image_size}px, "
                   f"{'f32 strict, ' if dtype == jnp.float32 else ''}"
+                  f"{'int8 W8A8 encoders, ' if quant else ''}"
                   f"CHAOS-like volume{', disk-fed' if feeder else ''})",
         "value": round(value, 2),
         "unit": "slices/sec/chip",
@@ -426,7 +432,9 @@ def main():
     print(json.dumps(out), flush=True)  # headline lands before vit_h risk
     smoke = os.environ.get("BENCH_SMOKE") == "1"
     is_f32 = os.environ.get("BENCH_DTYPE") == "f32"
-    if not smoke and not is_f32:
+    # A/B modes (f32-strict, int8) get their own committed artifacts and
+    # must not replace the bf16 headline record
+    if not smoke and not is_f32 and os.environ.get("BENCH_INT8") != "1":
         _record_last_good(out)
 
     # vit_h (the paper flagship refine model): auto-included when its
