@@ -64,24 +64,34 @@ def pytest_collection_modifyitems(config, items):
 # ---------------------------------------------------------------------------
 # Fast-lane runtime guard: durations.json is a snapshot, so a NEW expensive
 # test silently lands in the fast lane until the snapshot is refreshed.  This
-# hook measures every test at runtime and reports unmarked tests that exceeded
-# the budget, so the <5-min signal can't silently degrade.  Runtime varies by
-# machine (the recorded threshold is 5.5 s on the reference box), so the
-# runtime bar is looser: 10 s.  PTPU_ENFORCE_FAST_LANE=1 turns the report into
-# a hard session failure (for CI-style runs).
+# hook measures every test at runtime; unmarked tests over the runtime bar
+# (10 s — looser than the 5.5 s recorded threshold because machines vary) are
+# reported, and any unmarked test over 2× the bar FAILS the session (r4
+# verdict: the guard must fail, not warn, or the <5-min signal silently
+# degrades).  PTPU_ENFORCE_FAST_LANE=1 hard-fails on ANY overage (CI);
+# PTPU_ENFORCE_FAST_LANE=0 disables failing entirely (slow dev boxes).
+#
+# Refreshing the snapshot is built in:
+#   PTPU_RECORD_DURATIONS=1 python -m pytest tests/ -q
+# rewrites tests/durations.json from the run's measured call durations.
 # ---------------------------------------------------------------------------
 _RUNTIME_SLOW_S = 10.0
 _runtime_overages: list[tuple[str, float]] = []
+_all_durations: dict[str, float] = {}
 
 
 @pytest.hookimpl(hookwrapper=True)
 def pytest_runtest_makereport(item, call):
     outcome = yield
     rep = outcome.get_result()
-    if rep.when != "call" or rep.duration <= _RUNTIME_SLOW_S:
+    if rep.when != "call":
+        return
+    nodeid = item.nodeid.replace("\\", "/")
+    _all_durations[nodeid] = round(rep.duration, 2)
+    if rep.duration <= _RUNTIME_SLOW_S:
         return
     if item.get_closest_marker("slow") is None \
-            and item.nodeid.replace("\\", "/") not in _ALWAYS_FAST:
+            and nodeid not in _ALWAYS_FAST:
         _runtime_overages.append((item.nodeid, rep.duration))
 
 
@@ -92,12 +102,30 @@ def pytest_terminal_summary(terminalreporter, exitstatus, config):
     for nodeid, dur in sorted(_runtime_overages, key=lambda t: -t[1]):
         terminalreporter.write_line(f"  {dur:7.1f}s  {nodeid}")
     terminalreporter.write_line(
-        "Refresh tests/durations.json (full run with --durations=0) or mark "
-        "these @pytest.mark.slow to keep the fast lane under 5 minutes.")
+        "Refresh tests/durations.json (PTPU_RECORD_DURATIONS=1 full run) or "
+        "mark these @pytest.mark.slow to keep the fast lane under 5 minutes.")
+    hard = [n for n, d in _runtime_overages if d > 2 * _RUNTIME_SLOW_S]
+    if hard and os.environ.get("PTPU_ENFORCE_FAST_LANE") != "0":
+        terminalreporter.write_line(
+            f"FAILING session: {len(hard)} unmarked test(s) exceeded "
+            f"{2 * _RUNTIME_SLOW_S:.0f}s (2x the runtime bar).")
 
 
 def pytest_sessionfinish(session, exitstatus):
-    if _runtime_overages and os.environ.get("PTPU_ENFORCE_FAST_LANE") == "1":
+    if os.environ.get("PTPU_RECORD_DURATIONS") == "1" and _all_durations:
+        path = pathlib.Path(__file__).parent / "durations.json"
+        try:
+            old = json.loads(path.read_text())
+        except (OSError, ValueError):
+            old = {}
+        old.update(_all_durations)  # partial runs refresh what they measured
+        path.write_text(json.dumps(old, indent=0, sort_keys=True) + "\n")
+    enforce = os.environ.get("PTPU_ENFORCE_FAST_LANE")
+    if enforce == "0":
+        return
+    if enforce == "1" and _runtime_overages:
+        session.exitstatus = 3
+    elif any(d > 2 * _RUNTIME_SLOW_S for _, d in _runtime_overages):
         session.exitstatus = 3
 
 
