@@ -492,17 +492,30 @@ class ProtoSAM:
         shard = NamedSharding(mesh, P("data"))
         repl = NamedSharding(mesh, P())
         put = functools.partial(jax.device_put, device=repl)
-        if shard_params:
-            from protosam_tpu.parallel import encoder_param_sharding
+        # param placement is cached per (mesh, shard_params): replicating
+        # (or Megatron-sharding) the full param trees costs a host->device
+        # copy of every weight — paying it once per volume instead of once
+        # per mesh doubled the dp program's measured wall time on the
+        # DP_SCALING harness
+        cache = getattr(self, "_mesh_params_cache", None)
+        if cache is None:
+            cache = self._mesh_params_cache = {}
+        key = (mesh, shard_params)
+        if key not in cache:
+            if shard_params:
+                from protosam_tpu.parallel import encoder_param_sharding
 
-            coarse_p = jax.device_put(
-                self.coarse_params,
-                encoder_param_sharding(self.coarse_params, mesh))
-            sam_p = jax.device_put(
-                self.sam_params, encoder_param_sharding(self.sam_params, mesh))
-        else:
-            coarse_p = jax.device_put(self.coarse_params, repl)
-            sam_p = jax.device_put(self.sam_params, repl)
+                cache[key] = (
+                    jax.device_put(
+                        self.coarse_params,
+                        encoder_param_sharding(self.coarse_params, mesh)),
+                    jax.device_put(
+                        self.sam_params,
+                        encoder_param_sharding(self.sam_params, mesh)))
+            else:
+                cache[key] = (jax.device_put(self.coarse_params, repl),
+                              jax.device_put(self.sam_params, repl))
+        coarse_p, sam_p = cache[key]
         args = (coarse_p, sam_p,
                 put(inp.supp_imgs), put(inp.fore_mask), put(inp.back_mask))
         supp_fts = jax.device_put(supp_fts, repl)
