@@ -54,6 +54,8 @@ class FewShotSeg(nn.Module):
     # int8 MXU path for the DINOv2 dense stages (ops/quant; the f32
     # coarse-logit tail is never quantized)
     quant_dense: bool = False
+    # plain-XLA attention even on TPU (the f32-strict harness leg)
+    force_xla_attn: bool = False
 
     @property
     def feature_hw(self) -> int:
@@ -74,7 +76,8 @@ class FewShotSeg(nn.Module):
             self.encoder = DeeplabRes101Encoder(dtype=self.dtype)
         else:
             self.encoder = build_dinov2(key, dtype=self.dtype,
-                                        quant_dense=self.quant_dense)
+                                        quant_dense=self.quant_dense,
+                                        force_xla_attn=self.force_xla_attn)
 
     def get_features(self, imgs: jax.Array) -> jax.Array:
         """imgs: (B, 3, H, W) -> features (B, C, h, w).

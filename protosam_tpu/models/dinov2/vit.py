@@ -49,6 +49,12 @@ class Attention(nn.Module):
     valid_tokens: int | None = None
     # int8 MXU path for qkv/proj (ops/quant; measured-drift-gated opt-in)
     quant_dense: bool = False
+    # route attention through the plain XLA einsum path even on TPU — the
+    # f32-STRICT leg of the drift/agreement harnesses runs under matmul
+    # precision `highest`, whose multi-pass f32 dots blow the big packed
+    # Pallas kernel's VMEM budget at DINOv2-L 672px; XLA manages memory
+    # for the einsum path and honors `highest` exactly
+    force_xla_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -79,8 +85,11 @@ class Attention(nn.Module):
                                             use_flash=False)
             return out.transpose(0, 2, 1, 3).reshape(b, n, c)
 
-        out = jax.lax.platform_dependent(qkv, cpu=einsum_path,
-                                         default=packed_path)
+        if self.force_xla_attn:
+            out = einsum_path(qkv)
+        else:
+            out = jax.lax.platform_dependent(qkv, cpu=einsum_path,
+                                             default=packed_path)
         return Dense(c, dtype=self.dtype, name="proj")(out)
 
 
@@ -100,6 +109,7 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
     valid_tokens: int | None = None
     quant_dense: bool = False
+    force_xla_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array):
@@ -110,7 +120,8 @@ class Block(nn.Module):
         y = TokenLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = Attention(self.num_heads, self.dtype,
                       valid_tokens=self.valid_tokens,
-                      quant_dense=self.quant_dense, name="attn")(y)
+                      quant_dense=self.quant_dense,
+                      force_xla_attn=self.force_xla_attn, name="attn")(y)
         x = x + LayerScale(self.dtype, name="ls1")(y)
         y = TokenLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = Dense(int(c * self.mlp_ratio), dtype=self.dtype,
@@ -142,6 +153,8 @@ class DinoVisionTransformer(nn.Module):
     remat: bool = False
     # int8 MXU path for the block dense stages (ops/quant)
     quant_dense: bool = False
+    # plain-XLA attention (see Attention.force_xla_attn)
+    force_xla_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
@@ -203,6 +216,7 @@ class DinoVisionTransformer(nn.Module):
         x, _ = ScannedBlocks(self.num_heads, self.mlp_ratio, self.dtype,
                              valid_tokens=n_tokens if n_pad else None,
                              quant_dense=self.quant_dense,
+                             force_xla_attn=self.force_xla_attn,
                              name="blocks")(x)
 
         if n_pad:
@@ -268,10 +282,11 @@ _DINO_CONFIGS: dict[str, dict[str, Any]] = {
 }
 
 
-def build_dinov2(name: str, dtype=jnp.float32,
-                 quant_dense: bool = False) -> DinoVisionTransformer:
+def build_dinov2(name: str, dtype=jnp.float32, quant_dense: bool = False,
+                 force_xla_attn: bool = False) -> DinoVisionTransformer:
     if name not in _DINO_CONFIGS:
         raise KeyError(f"unknown DINOv2 variant {name!r}; "
                        f"have {sorted(_DINO_CONFIGS)}")
     return DinoVisionTransformer(dtype=dtype, quant_dense=quant_dense,
+                                 force_xla_attn=force_xla_attn,
                                  **_DINO_CONFIGS[name])

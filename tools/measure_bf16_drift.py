@@ -119,10 +119,19 @@ def measure_bench(n_slices=8):
 
     masks = {}
     for dt_name, dt, quant in legs:
+        # the f32-strict leg runs under matmul precision `highest`, whose
+        # multi-pass f32 dots blow the packed Pallas kernels' VMEM budget
+        # at this geometry — route its attention through the plain XLA
+        # paths (DINOv2 force_xla_attn, SAM use_flash_relpos=False); XLA
+        # manages memory and honors `highest` exactly.  Production legs
+        # keep the Pallas kernels.
+        strict = dt_name == "f32"
         coarse = FewShotSeg(image_size=image_size, which_model="dinov2_l14",
-                            dtype=dt, quant_dense=quant)
+                            dtype=dt, quant_dense=quant,
+                            force_xla_attn=strict)
         sam = build_sam("vit_b", dtype=dt, image_size=1024,
-                        quant_dense=quant)
+                        quant_dense=quant,
+                        use_flash_relpos=not strict)
         coarse_shapes = jax.eval_shape(
             lambda r: coarse.init(r, supp, fg, 1 - fg, qry0)["params"], rng)
         sam_shapes = jax.eval_shape(
