@@ -171,9 +171,86 @@ def measure_bench(n_slices=8):
     return res
 
 
+def measure_refine(n_slices=6):
+    """Refine-stage drift on CONTROLLED multi-component, realistic-contrast
+    logit fields (r4 verdict weak #5: the full-pipeline drift runs on
+    role-aware random weights whose coarse logits are near-zero-contrast
+    and single-component — both unrealistic).  Here the coarse stage is
+    bypassed: synthetic 672² logit fields with 2-4 gaussian components at
+    trained-model contrast (|logit| ~ 6) drive CCA + prompts + SAM
+    (pipe._jit_refine) in bf16-production vs f32-strict, full-size vit_b."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from protosam_tpu.models.sam import build_sam
+    from protosam_tpu.pipeline import ProtoSAM, ProtoSAMConfig
+    from protosam_tpu.utils.synthetic import synthetic_params
+
+    image_size = 672
+    rng = np.random.default_rng(7)
+
+    def logit_field(i):
+        """(1, 2, 672, 672) f32: k gaussian fg bumps at realistic contrast."""
+        k = 2 + i % 3
+        yy, xx = np.mgrid[0:image_size, 0:image_size].astype(np.float32)
+        fg = np.full((image_size, image_size), -6.0, np.float32)
+        for _ in range(k):
+            cy, cx = rng.uniform(80, image_size - 80, 2)
+            s = rng.uniform(25, 60)
+            bump = 14.0 * np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2)
+                                   / (2 * s * s)))
+            fg = np.maximum(fg, -6.0 + bump)
+        fg += rng.normal(0, 0.35, fg.shape).astype(np.float32)  # boundary noise
+        return np.stack([-fg, fg])[None], k
+
+    fields, ks = zip(*[logit_field(i) for i in range(n_slices)])
+    qrys = rng.standard_normal((n_slices, 1, 3, image_size, image_size)
+                               ).astype(np.float32)
+
+    masks = {}
+    for dt_name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        strict = dt_name == "f32"
+        sam = build_sam("vit_b", dtype=dt, image_size=1024,
+                        use_flash_relpos=not strict)
+        sam_shapes = jax.eval_shape(
+            lambda r: sam.init(
+                r, jnp.zeros((1, 1024, 1024, 3)), jnp.zeros((1, 1, 2)),
+                jnp.ones((1, 1), jnp.int32), jnp.zeros((1, 4)))["params"],
+            jax.random.PRNGKey(0))
+        sp = jax.device_put(synthetic_params(sam_shapes))
+        pipe = ProtoSAM(None, None, sam, sp,
+                        ProtoSAMConfig(image_size=(1024, 1024), max_ccs=8,
+                                       use_cca=False))
+        outs = []
+        for i in range(n_slices):
+            args = (sp, jnp.asarray(qrys[i]), jnp.asarray(fields[i]))
+            if strict:
+                with jax.default_matmul_precision("highest"):
+                    pred, _s, _ = pipe._jit_refine(*args)
+            else:
+                pred, _s, _ = pipe._jit_refine(*args)
+            outs.append(np.asarray(pred.astype(jnp.float32)) > 0)
+        masks[dt_name] = outs
+
+    dices = [_dice(masks["bf16"][i], masks["f32"][i])
+             for i in range(n_slices)]
+    res = {"measurement": "refine stage, controlled multi-component logits "
+                          "(2-4 gaussian components, contrast ~|6|, vit_b "
+                          "1024 frame; f32 leg strict)",
+           "components_per_slice": list(ks),
+           "dice_bf16_vs_f32_per_slice": [round(d, 4) for d in dices],
+           "min": round(min(dices), 4),
+           "mean": round(sum(dices) / len(dices), 4)}
+    print(json.dumps(res))
+    return res
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     if "--goldens" in args or not args:
         measure_goldens()
     if "--bench" in args or not args:
         measure_bench(int(os.environ.get("DRIFT_SLICES", "8")))
+    if "--refine" in args:
+        measure_refine(int(os.environ.get("DRIFT_REFINE_SLICES", "6")))
