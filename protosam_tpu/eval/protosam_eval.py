@@ -46,8 +46,10 @@ def build_models(cfg: Config, coarse_params=None, sam_params=None):
     coarse = FewShotSeg(image_size=cfg.input_size[0],
                         which_model=cfg.modelname,
                         proto_grid_size=cfg.proto_grid_size, dtype=dtype,
-                        use_fused_alp=cfg.use_fused_alp)
-    sam = build_sam(SAM_VERSIONS[cfg.protosam_sam_ver], dtype=dtype)
+                        use_fused_alp=cfg.use_fused_alp,
+                        quant_dense=cfg.quant_dense)
+    sam = build_sam(SAM_VERSIONS[cfg.protosam_sam_ver], dtype=dtype,
+                    quant_dense=cfg.quant_dense)
 
     rng = jax.random.PRNGKey(cfg.seed)
     if coarse_params is None:
