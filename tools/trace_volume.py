@@ -29,9 +29,10 @@ def build_pipe(slice_batch, sam_ver, image_size=672):
     from protosam_tpu.pipeline import ProtoSAM, ProtoSAMConfig
     from protosam_tpu.utils.synthetic import synthetic_params
 
+    quant = os.environ.get("TRACE_INT8", "1") == "1"  # adopted default path
     coarse = FewShotSeg(image_size=image_size, which_model="dinov2_l14",
-                        dtype=jnp.bfloat16)
-    sam = build_sam(sam_ver, dtype=jnp.bfloat16)
+                        dtype=jnp.bfloat16, quant_dense=quant)
+    sam = build_sam(sam_ver, dtype=jnp.bfloat16, quant_dense=quant)
     rng = jax.random.PRNGKey(0)
     supp = jax.random.normal(rng, (1, 3, image_size, image_size), jnp.float32)
     fg = jnp.zeros((1, image_size, image_size))
