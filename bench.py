@@ -384,6 +384,7 @@ def _measure(sam_ver: str, emit_status_cb=None) -> dict:
             sys.path.insert(0, _HERE)
             from tools.roofline import (
                 DEMONSTRATED_MS_B8,
+                DEMONSTRATED_MS_B8_INT8,
                 DEMONSTRATED_MS_B8_VITH,
                 MEASURED_MS_PER_SLICE,
                 PEAK_TFS,
@@ -392,7 +393,8 @@ def _measure(sam_ver: str, emit_status_cb=None) -> dict:
                 sam_flops,
             )
 
-            table = {"vit_b": DEMONSTRATED_MS_B8,
+            table = {"vit_b": (DEMONSTRATED_MS_B8_INT8 if quant
+                               else DEMONSTRATED_MS_B8),
                      "vit_h": DEMONSTRATED_MS_B8_VITH}.get(sam_ver)
             if table is not None:
                 dem = demonstrated_ceiling(table)

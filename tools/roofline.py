@@ -88,6 +88,19 @@ DEMONSTRATED_MS_B8_VITH = {
     "cca + prompts + decode tail": 28.0,
 }
 
+# The ADOPTED int8 W8A8 path (r5; ops/quant, DRIFT_r05 >= 0.9955 vs
+# f32-strict).  Stage costs from the r5 batch-24 int8 device trace
+# (TRACE_B24_INT8_r05.log leaf-op sums / 3): the dense stages ride the
+# int8 MXU at ~1.6x the bf16 rate (tools/microbench_int8: 325.8 vs
+# 201.5 TF/s), attention kernels stay bf16, and the CCA tail dropped to
+# ~5 ms/b8 with the convergence exit (probe: anatomy masks converge in
+# 3-5 of the 64 max iterations).
+DEMONSTRATED_MS_B8_INT8 = {
+    "dinov2_l14 encoder (int8 dense)": 113.3,
+    "vit_b sam encoder (int8 dense)": 107.3,
+    "cca + prompts + decode tail": 18.0,
+}
+
 
 def demonstrated_ceiling(table=None) -> float:
     """slices/sec/chip if every stage ran at its best demonstrated cost."""
