@@ -20,6 +20,11 @@ Exactness notes: scales are f32; the int8 rounding error is bounded by
 |x|_max/127 per element, ~2.6× the bf16 mantissa step at equal amax —
 drift is measured end-to-end (tools/measure_bf16_drift.py) rather than
 argued.  The f32 coarse-logit and decode tails are NOT quantized.
+
+INFERENCE ONLY (like the fused ALP kernel): ``jnp.round`` has zero
+derivative almost everywhere, so gradients through QuantDense vanish on
+the activation path — no straight-through estimator is implemented.
+Training and TTT keep ``quant_dense=False`` (their drivers never set it).
 """
 
 from __future__ import annotations
