@@ -113,10 +113,10 @@ def test_full_eval_driver(data_dir, monkeypatch):
     # tiny SAM at 128² frame so the CPU test stays fast
     orig = reg.build_sam
     monkeypatch.setattr(reg, "build_sam",
-                        lambda t, dtype, image_size=1024: orig(t, dtype, 128))
+                        lambda t, dtype, image_size=1024, **kw: orig(t, dtype, 128, **kw))
     import protosam_tpu.eval.protosam_eval as pe
     monkeypatch.setattr(pe, "build_sam",
-                        lambda t, dtype: orig(t, dtype, 128))
+                        lambda t, dtype, **kw: orig(t, dtype, 128, **kw))
 
     result = run_eval(cfg, mode="volume")
     assert 0.0 <= result["mar_val_batches_meanDice"] <= 1.0
@@ -168,7 +168,7 @@ def test_eval_modes_agree(data_dir, monkeypatch):
     import protosam_tpu.eval.protosam_eval as pe
     orig = reg.build_sam
     monkeypatch.setattr(pe, "build_sam",
-                        lambda t, dtype: orig(t, dtype, 128))
+                        lambda t, dtype, **kw: orig(t, dtype, 128, **kw))
 
     from protosam_tpu.eval.protosam_eval import build_models
     pipe = build_models(cfg)
