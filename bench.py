@@ -435,10 +435,13 @@ def main():
     print(json.dumps(out), flush=True)  # headline lands before vit_h risk
     smoke = os.environ.get("BENCH_SMOKE") == "1"
     is_f32 = os.environ.get("BENCH_DTYPE") == "f32"
-    # the f32-strict A/B mode keeps its own committed artifact and must
-    # not replace the headline record; the int8-default and bf16 modes
-    # are both headline-class (the metric string says which ran)
-    if not smoke and not is_f32:
+    # the f32-strict A/B mode and non-default volume-shape experiments
+    # keep their own artifacts and must not replace the headline record;
+    # the int8-default and bf16 modes are both headline-class (the
+    # metric string says which ran)
+    default_shape = (os.environ.get("BENCH_SLICES") in (None, "24")
+                     and os.environ.get("BENCH_BATCH") in (None, "24"))
+    if not smoke and not is_f32 and default_shape:
         _record_last_good(out)
 
     # vit_h (the paper flagship refine model): auto-included when its
