@@ -440,7 +440,8 @@ def main():
     # the int8-default and bf16 modes are both headline-class (the
     # metric string says which ran)
     default_shape = (os.environ.get("BENCH_SLICES") in (None, "24")
-                     and os.environ.get("BENCH_BATCH") in (None, "24"))
+                     and os.environ.get("BENCH_BATCH") in (None, "24")
+                     and os.environ.get("BENCH_PIPE") in (None, "protosam"))
     if not smoke and not is_f32 and default_shape:
         _record_last_good(out)
 
