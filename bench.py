@@ -439,9 +439,13 @@ def main():
     # keep their own artifacts and must not replace the headline record;
     # the int8-default and bf16 modes are both headline-class (the
     # metric string says which ran)
+    # alternate refine models keep their own artifacts (BENCH_VITL_r05);
+    # vit_h passes through because _record_last_good only touches its
+    # cache-warm marker for vit_h runs, never the headline record
     default_shape = (os.environ.get("BENCH_SLICES") in (None, "24")
                      and os.environ.get("BENCH_BATCH") in (None, "24")
-                     and os.environ.get("BENCH_PIPE") in (None, "protosam"))
+                     and os.environ.get("BENCH_PIPE") in (None, "protosam")
+                     and sam_ver in ("vit_b", "vit_h"))
     if not smoke and not is_f32 and default_shape:
         _record_last_good(out)
 
