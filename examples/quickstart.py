@@ -7,6 +7,11 @@ Runs anywhere (CPU included) with tiny random-weight models; swap in
 results.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax
